@@ -1,0 +1,333 @@
+"""Typed experiment configuration (component C1 in SURVEY.md §2).
+
+The reference uses per-run JSON files + argparse; here every run is described by
+frozen dataclasses so configs are hashable (usable as jit static args) and
+type-checked. The five named presets correspond to BASELINE.json's graded
+configs #1-#5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """Anchor/prior generation hyperparameters (component C11).
+
+    For SSD the fields follow Liu et al. 2016 §2.2 (per-level scales with an
+    extra sqrt(s_k * s_{k+1}) prior for ratio 1); for RetinaNet they follow
+    Lin et al. 2017 §4 (3 octave scales x 3 aspect ratios per level).
+    """
+
+    # Common
+    aspect_ratios: Tuple[Tuple[float, ...], ...] = ()
+    # SSD-style: per-level scale fractions of image size.
+    scales: Tuple[float, ...] = ()
+    # RetinaNet-style: per-level base anchor size in pixels and octave scales.
+    strides: Tuple[int, ...] = ()
+    sizes: Tuple[float, ...] = ()
+    octave_scales: Tuple[float, ...] = (1.0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0))
+    # Box encode/decode variances (SSD convention; RetinaNet uses (1, 1)).
+    variances: Tuple[float, float] = (0.1, 0.2)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Anchor<->GT assignment (component C13 — the research contribution).
+
+    quality(a, g) = (1 - shape_weight) * IoU(a, g) + shape_weight * shape_sim(a, g)
+
+    where shape_sim = exp(-(|log(w_a/w_g)| + |log(h_a/h_g)|) / shape_tau) measures
+    pure aspect/size geometry agreement. shape_weight = 0 recovers plain-IoU
+    matching (configs #1/#2/#4); config #3 trains with shape_weight > 0.
+    The exact reference formula was unverifiable (SURVEY.md §7); the formula is
+    isolated in ops/matching.py behind this config so it can be swapped.
+    """
+
+    pos_threshold: float = 0.5
+    neg_threshold: float = 0.5  # quality below this -> background
+    shape_weight: float = 0.0
+    shape_tau: float = 1.0
+    force_match_for_each_gt: bool = True
+    allow_low_quality: bool = False  # RetinaNet uses ignore band 0.4-0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss selection and hyperparameters (components C14/C15)."""
+
+    kind: str = "multibox"  # "multibox" (SSD) | "focal" (RetinaNet)
+    neg_pos_ratio: float = 3.0  # hard-negative mining ratio (SSD)
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    box_loss_weight: float = 1.0
+    smooth_l1_beta: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectConfig:
+    """Post-processing (component C16): decode -> threshold -> class-aware NMS."""
+
+    score_threshold: float = 0.05
+    nms_iou_threshold: float = 0.45
+    pre_nms_top_k: int = 1000  # per image, across all classes
+    max_detections: int = 200  # final top-k per image
+    use_sigmoid: bool = False  # focal models score with sigmoid, SSD with softmax
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture selection (components C6-C10)."""
+
+    name: str = "ssd300"
+    family: str = "ssd"  # "ssd" | "retinanet"
+    backbone: str = "vgg16"  # "vgg16" | "resnet50" | "resnet101"
+    image_size: int = 300
+    num_classes: int = 80  # foreground classes (COCO 80 / VOC 20)
+    fpn_channels: int = 256
+    head_depth: int = 4  # RetinaNet subnets
+    width_mult: float = 1.0  # channel scaling for tiny test models
+    anchors: AnchorConfig = dataclasses.field(default_factory=AnchorConfig)
+    detect: DetectConfig = dataclasses.field(default_factory=DetectConfig)
+    dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline (components C2-C5)."""
+
+    dataset: str = "synthetic"  # "voc" | "coco" | "synthetic"
+    root: str = ""
+    max_boxes: int = 100  # fixed padding for static shapes
+    batch_size: int = 8
+    # On-device augmentation toggles (component C4)
+    hflip: bool = True
+    photometric: bool = True
+    expand: bool = True
+    random_crop: bool = True
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization loop (component C17)."""
+
+    optimizer: str = "sgd"
+    base_lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    warmup_steps: int = 500
+    total_steps: int = 120_000
+    lr_decay_steps: Tuple[int, ...] = (80_000, 100_000)
+    lr_decay_factor: float = 0.1
+    grad_clip_norm: float = 10.0
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "/tmp/sbd_ckpt"
+    keep_checkpoints: int = 3
+    seed: int = 0
+    num_data_hosts: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for SPMD (SURVEY.md §2 parallelism). DP is the production
+    axis; the 'model' axis is kept in the naming so TP is a config change."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallelism: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+# ---------------------------------------------------------------------------
+# Anchor presets
+# ---------------------------------------------------------------------------
+
+# SSD-300: 6 feature maps (38, 19, 10, 5, 3, 1); 8732 priors total.
+SSD300_ANCHORS = AnchorConfig(
+    scales=(0.1, 0.2, 0.375, 0.55, 0.725, 0.9, 1.075),
+    aspect_ratios=(
+        (1.0, 2.0, 0.5),
+        (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0),
+        (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0),
+        (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0),
+        (1.0, 2.0, 0.5),
+        (1.0, 2.0, 0.5),
+    ),
+    variances=(0.1, 0.2),
+)
+
+# SSD-512: 7 feature maps (64, 32, 16, 8, 4, 2, 1); 24564 priors total.
+SSD512_ANCHORS = AnchorConfig(
+    scales=(0.07, 0.15, 0.3, 0.45, 0.6, 0.75, 0.9, 1.05),
+    aspect_ratios=(
+        (1.0, 2.0, 0.5),
+        (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0),
+        (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0),
+        (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0),
+        (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0),
+        (1.0, 2.0, 0.5),
+        (1.0, 2.0, 0.5),
+    ),
+    variances=(0.1, 0.2),
+)
+
+# RetinaNet: P3-P7, 9 anchors per location.
+RETINANET_ANCHORS = AnchorConfig(
+    strides=(8, 16, 32, 64, 128),
+    sizes=(32.0, 64.0, 128.0, 256.0, 512.0),
+    aspect_ratios=((0.5, 1.0, 2.0),) * 5,
+    octave_scales=(1.0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0)),
+    variances=(1.0, 1.0),
+)
+
+
+# ---------------------------------------------------------------------------
+# Model presets
+# ---------------------------------------------------------------------------
+
+SSD300 = ModelConfig(
+    name="ssd300",
+    family="ssd",
+    backbone="vgg16",
+    image_size=300,
+    anchors=SSD300_ANCHORS,
+    detect=DetectConfig(score_threshold=0.01, nms_iou_threshold=0.45,
+                        pre_nms_top_k=400, max_detections=200,
+                        use_sigmoid=False),
+)
+
+SSD512 = ModelConfig(
+    name="ssd512",
+    family="ssd",
+    backbone="vgg16",
+    image_size=512,
+    anchors=SSD512_ANCHORS,
+    detect=DetectConfig(score_threshold=0.01, nms_iou_threshold=0.45,
+                        pre_nms_top_k=400, max_detections=200,
+                        use_sigmoid=False),
+)
+
+RETINANET_R50_512 = ModelConfig(
+    name="retinanet_r50_fpn",
+    family="retinanet",
+    backbone="resnet50",
+    image_size=512,
+    anchors=RETINANET_ANCHORS,
+    detect=DetectConfig(score_threshold=0.05, nms_iou_threshold=0.5,
+                        pre_nms_top_k=1000, max_detections=100,
+                        use_sigmoid=True),
+)
+
+RETINANET_R101 = ModelConfig(
+    name="retinanet_r101_fpn",
+    family="retinanet",
+    backbone="resnet101",
+    image_size=640,
+    anchors=RETINANET_ANCHORS,
+    detect=DetectConfig(score_threshold=0.05, nms_iou_threshold=0.5,
+                        pre_nms_top_k=1000, max_detections=100,
+                        use_sigmoid=True),
+)
+
+
+def _preset_1() -> ExperimentConfig:
+    """BASELINE config #1: SSD-300 VGG-16 single-image COCO-val inference."""
+    return ExperimentConfig(
+        model=SSD300,
+        data=DataConfig(dataset="coco", batch_size=1),
+        loss=LossConfig(kind="multibox"),
+    )
+
+
+def _preset_2() -> ExperimentConfig:
+    """BASELINE config #2: RetinaNet R50-FPN 512px batched inference."""
+    return ExperimentConfig(
+        model=RETINANET_R50_512,
+        data=DataConfig(dataset="coco", batch_size=32),
+        loss=LossConfig(kind="focal"),
+    )
+
+
+def _preset_3() -> ExperimentConfig:
+    """BASELINE config #3: SSD-512 VOC training, shape matching + hard-neg mining."""
+    return ExperimentConfig(
+        model=dataclasses.replace(SSD512, num_classes=20),
+        data=DataConfig(dataset="voc", batch_size=32),
+        match=MatchConfig(pos_threshold=0.5, neg_threshold=0.5,
+                          shape_weight=0.3, shape_tau=1.0),
+        loss=LossConfig(kind="multibox", neg_pos_ratio=3.0),
+        train=TrainConfig(base_lr=1e-3, total_steps=60_000,
+                          lr_decay_steps=(40_000, 50_000)),
+    )
+
+
+def _preset_4() -> ExperimentConfig:
+    """BASELINE config #4: RetinaNet R101-FPN full COCO training."""
+    return ExperimentConfig(
+        model=RETINANET_R101,
+        data=DataConfig(dataset="coco", batch_size=16),
+        match=MatchConfig(pos_threshold=0.5, neg_threshold=0.4,
+                          allow_low_quality=True),
+        loss=LossConfig(kind="focal"),
+        train=TrainConfig(base_lr=0.01, total_steps=90_000,
+                          lr_decay_steps=(60_000, 80_000)),
+    )
+
+
+def _preset_5() -> ExperimentConfig:
+    """BASELINE config #5: multi-host DP 1024px large-batch COCO training."""
+    return ExperimentConfig(
+        model=dataclasses.replace(RETINANET_R101, image_size=1024),
+        data=DataConfig(dataset="coco", batch_size=256),
+        match=MatchConfig(pos_threshold=0.5, neg_threshold=0.4,
+                          allow_low_quality=True),
+        loss=LossConfig(kind="focal"),
+        train=TrainConfig(base_lr=0.04, total_steps=45_000,
+                          lr_decay_steps=(30_000, 40_000), num_data_hosts=4),
+    )
+
+
+PRESETS = {
+    "config1_ssd300_infer": _preset_1,
+    "config2_retinanet_r50_infer": _preset_2,
+    "config3_ssd512_voc_train": _preset_3,
+    "config4_retinanet_r101_coco_train": _preset_4,
+    "config5_multihost_dp_train": _preset_5,
+    # model-name aliases
+    "ssd300": _preset_1,
+    "ssd512": _preset_3,
+    "retinanet_r50_fpn": _preset_2,
+    "retinanet_r101_fpn": _preset_4,
+}
+
+
+def get_config(name: str) -> ExperimentConfig:
+    """Look up a named preset (BASELINE configs #1-#5 or model aliases)."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown config {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name]()
+
+
+def tiny_test_model(family: str = "ssd") -> ModelConfig:
+    """A channel-scaled miniature model for CPU tests (same code paths)."""
+    if family == "ssd":
+        return dataclasses.replace(
+            SSD300, name="ssd300_tiny", width_mult=0.125, num_classes=4,
+        )
+    return dataclasses.replace(
+        RETINANET_R50_512, name="retinanet_tiny", width_mult=0.125,
+        image_size=128, fpn_channels=32, head_depth=1, num_classes=4,
+    )

@@ -1,0 +1,247 @@
+"""Fused on-device augmentation (component C4, SURVEY.md §2).
+
+The reference family runs PIL/torchvision transforms per image on the host —
+its training throughput ceiling. Here the entire augmentation pipeline is one
+jitted, vmapped jnp program (BASELINE.json:6 "preprocessing fuses into XLA"):
+
+1. photometric distortion: brightness / contrast / saturation / hue, each
+   applied with prob 0.5 (HSV math implemented branchless in jnp);
+2. geometry: zoom-out "expand" and IoU-constrained random crop composed into a
+   SINGLE sampling window per image, applied with ONE
+   ``jax.image.scale_and_translate`` warp (bilinear). Candidate crop windows
+   are evaluated vectorized (no rejection loop): T candidates are scored
+   against the SSD IoU constraint and the first satisfying one wins;
+3. horizontal flip with prob 0.5;
+4. normalization (ImageNet mean/std).
+
+Boxes ride along affinely with validity-mask updates — static shapes
+throughout (MAX_BOXES padding).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from shape_based_object_detection_tpu.config import DataConfig
+
+_NUM_CROP_TRIALS = 16
+# SSD sampling modes: min-IoU constraint per mode; -1 = no crop (identity).
+_CROP_MIN_IOUS = jnp.asarray([-1.0, 0.0, 0.1, 0.3, 0.5, 0.7, 0.9])
+
+
+# ---------------------------------------------------------------------------
+# Color: branchless HSV <-> RGB
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) in [0,1] -> (h, s, v) with h in [0,1)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.max(rgb, axis=-1)
+    mn = jnp.min(rgb, axis=-1)
+    d = mx - mn
+    safe_d = jnp.where(d > 0, d, 1.0)
+    h = jnp.where(
+        mx == r, (g - b) / safe_d % 6.0,
+        jnp.where(mx == g, (b - r) / safe_d + 2.0, (r - g) / safe_d + 4.0),
+    )
+    h = jnp.where(d > 0, h / 6.0, 0.0)
+    s = jnp.where(mx > 0, d / jnp.where(mx > 0, mx, 1.0), 0.0)
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h6 = (h % 1.0) * 6.0
+    c = v * s
+    x = c * (1.0 - jnp.abs(h6 % 2.0 - 1.0))
+    m = v - c
+    i = jnp.floor(h6).astype(jnp.int32) % 6
+    r = jnp.choose(i, [c, x, jnp.zeros_like(c), jnp.zeros_like(c), x, c], mode="clip")
+    g = jnp.choose(i, [x, c, c, x, jnp.zeros_like(c), jnp.zeros_like(c)], mode="clip")
+    b = jnp.choose(i, [jnp.zeros_like(c), jnp.zeros_like(c), x, c, c, x], mode="clip")
+    return jnp.stack([r + m, g + m, b + m], axis=-1)
+
+
+def photometric_distort(rng: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
+    """img: (H, W, 3) float in [0,1]. SSD-style random photometric chain."""
+    k = jax.random.split(rng, 8)
+    apply = jax.random.uniform(k[0], (4,)) < 0.5
+
+    # brightness: +/- 32/255
+    delta = jax.random.uniform(k[1], (), minval=-32.0 / 255, maxval=32.0 / 255)
+    img = jnp.where(apply[0], img + delta, img)
+    # contrast: x0.5 .. x1.5
+    alpha_c = jax.random.uniform(k[2], (), minval=0.5, maxval=1.5)
+    img = jnp.where(apply[1], img * alpha_c, img)
+    img = jnp.clip(img, 0.0, 1.0)
+    # saturation & hue in HSV space
+    hsv = rgb_to_hsv(img)
+    alpha_s = jax.random.uniform(k[3], (), minval=0.5, maxval=1.5)
+    s = jnp.where(apply[2], jnp.clip(hsv[..., 1] * alpha_s, 0, 1), hsv[..., 1])
+    dh = jax.random.uniform(k[4], (), minval=-18.0 / 360, maxval=18.0 / 360)
+    h = jnp.where(apply[3], (hsv[..., 0] + dh) % 1.0, hsv[..., 0])
+    img = hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1))
+    return jnp.clip(img, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Geometry: expand + IoU-crop as one window, one warp
+# ---------------------------------------------------------------------------
+
+
+def _sample_window(rng: jax.Array, boxes: jnp.ndarray, valid: jnp.ndarray,
+                   do_expand: bool, do_crop: bool) -> jnp.ndarray:
+    """Returns (4,) window (x0, y0, x1, y1) in normalized source coords.
+
+    Window > [0,1] extent = zoom-out expansion (filled with the mean color);
+    window < [0,1] = crop. Identity = (0,0,1,1).
+    """
+    k = jax.random.split(rng, 6)
+    window = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+
+    if do_expand:
+        # zoom out by ratio r in [1, 4] with prob 0.5
+        r = jax.random.uniform(k[0], (), minval=1.0, maxval=4.0)
+        off = jax.random.uniform(k[1], (2,)) * (r - 1.0)
+        expanded = jnp.asarray([-off[0], -off[1], r - off[0], r - off[1]])
+        use = jax.random.uniform(k[2], ()) < 0.5
+        window = jnp.where(use, expanded, window)
+
+    if do_crop:
+        # SSD IoU-constrained crop, vectorized over trials
+        t = _NUM_CROP_TRIALS
+        mode = jax.random.randint(k[3], (), 0, len(_CROP_MIN_IOUS))
+        min_iou = _CROP_MIN_IOUS[mode]
+        kw, kxy = jax.random.split(k[4])
+        wh = jax.random.uniform(kw, (t, 2), minval=0.3, maxval=1.0)
+        # aspect constraint 0.5 < w/h < 2
+        ar_ok = jnp.logical_and(wh[:, 0] / wh[:, 1] > 0.5,
+                                wh[:, 0] / wh[:, 1] < 2.0)
+        xy0 = jax.random.uniform(kxy, (t, 2)) * (1.0 - wh)
+        cand = jnp.concatenate([xy0, xy0 + wh], axis=1)  # (T, 4)
+
+        # constraint: max IoU(crop, any valid gt) >= min_iou  AND at least one
+        # gt center inside (so the crop keeps an object)
+        lt = jnp.maximum(cand[:, None, :2], boxes[None, :, :2])
+        rb = jnp.minimum(cand[:, None, 2:], boxes[None, :, 2:])
+        whi = jnp.clip(rb - lt, 0.0, None)
+        inter = whi[..., 0] * whi[..., 1]
+        area_c = (cand[:, 2] - cand[:, 0]) * (cand[:, 3] - cand[:, 1])
+        area_b = jnp.clip(boxes[:, 2] - boxes[:, 0], 0, None) * jnp.clip(
+            boxes[:, 3] - boxes[:, 1], 0, None)
+        iou = inter / jnp.maximum(area_c[:, None] + area_b[None, :] - inter, 1e-8)
+        iou = jnp.where(valid[None, :], iou, -1.0)
+        centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
+        inside = jnp.logical_and(
+            (centers[None, :, :] > cand[:, None, :2]).all(-1),
+            (centers[None, :, :] < cand[:, None, 2:]).all(-1),
+        )
+        inside = jnp.logical_and(inside, valid[None, :])
+        ok = jnp.logical_and(
+            jnp.logical_and(ar_ok, (iou.max(1) >= min_iou)),
+            inside.any(1),
+        )
+        any_ok = ok.any()
+        first = jnp.argmax(ok)  # first satisfying trial
+        crop = cand[first]
+        no_crop = mode == 0
+        use_crop = jnp.logical_and(jnp.logical_not(no_crop), any_ok)
+        # Compose crop with the (possibly expanded) window: crop coords are in
+        # window space.
+        w0 = window[:2]
+        wsz = window[2:] - window[:2]
+        composed = jnp.concatenate([w0 + crop[:2] * wsz, w0 + crop[2:] * wsz])
+        window = jnp.where(use_crop, composed, window)
+
+    return window
+
+
+def _warp_image(img: jnp.ndarray, window: jnp.ndarray, out_size: int,
+                fill: jnp.ndarray) -> jnp.ndarray:
+    """One bilinear warp: sample `window` (normalized src coords) onto a
+    (out_size, out_size) canvas; outside-image regions get `fill`."""
+    h, w = img.shape[0], img.shape[1]
+    # output px o maps to input px: in = (o/out) * win_size * dim + win0 * dim
+    # scale_and_translate semantics: in = (out - translation) / scale
+    win_w = (window[2] - window[0]) * w
+    win_h = (window[3] - window[1]) * h
+    scale = jnp.stack([out_size / win_h, out_size / win_w])
+    translation = jnp.stack([-window[1] * h * scale[0], -window[0] * w * scale[1]])
+    warped = jax.image.scale_and_translate(
+        img - fill, (out_size, out_size, 3), (0, 1, 2),
+        jnp.concatenate([scale, jnp.ones(1)]),
+        jnp.concatenate([translation, jnp.zeros(1)]),
+        method="linear", antialias=False,
+    )
+    return warped + fill
+
+
+def _transform_boxes(boxes: jnp.ndarray, valid: jnp.ndarray,
+                     window: jnp.ndarray):
+    """Map boxes through the window; drop boxes whose center leaves it."""
+    w0 = jnp.concatenate([window[:2], window[:2]])
+    wsz = jnp.concatenate([window[2:] - window[:2]] * 2)
+    out = (boxes - w0) / wsz
+    centers = (out[:, :2] + out[:, 2:]) / 2.0
+    inside = jnp.logical_and((centers > 0.0).all(-1), (centers < 1.0).all(-1))
+    out = jnp.clip(out, 0.0, 1.0)
+    wh = out[:, 2:] - out[:, :2]
+    nonempty = (wh > 1e-3).all(-1)
+    new_valid = valid & inside & nonempty
+    return jnp.where(new_valid[:, None], out, 0.0), new_valid
+
+
+def _augment_one(rng: jax.Array, img_u8: jnp.ndarray, boxes: jnp.ndarray,
+                 labels: jnp.ndarray, valid: jnp.ndarray, cfg: DataConfig,
+                 out_size: int):
+    k = jax.random.split(rng, 4)
+    img = img_u8.astype(jnp.float32) / 255.0
+
+    if cfg.photometric:
+        img = photometric_distort(k[0], img)
+
+    mean = jnp.asarray(cfg.mean)
+    window = _sample_window(k[1], boxes, valid, cfg.expand, cfg.random_crop)
+    img = _warp_image(img, window, out_size, mean)
+    boxes, valid = _transform_boxes(boxes, valid, window)
+
+    if cfg.hflip:
+        flip = jax.random.uniform(k[2], ()) < 0.5
+        img = jnp.where(flip, img[:, ::-1, :], img)
+        flipped = jnp.stack(
+            [1.0 - boxes[:, 2], boxes[:, 1], 1.0 - boxes[:, 0], boxes[:, 3]],
+            axis=1,
+        )
+        boxes = jnp.where(flip, flipped, boxes)
+
+    std = jnp.asarray(cfg.std)
+    img = (img - mean) / std
+    return img, boxes, labels, valid
+
+
+def augment_batch(
+    rng: jax.Array,
+    images_u8: jnp.ndarray,  # (B, H, W, 3) uint8, already at a static size
+    boxes: jnp.ndarray,  # (B, G, 4) normalized xyxy, padded
+    labels: jnp.ndarray,  # (B, G) int32
+    valid: jnp.ndarray,  # (B, G) bool
+    cfg: DataConfig,
+    out_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full train-time augmentation, one fused program, vmapped over batch."""
+    rngs = jax.random.split(rng, images_u8.shape[0])
+    return jax.vmap(
+        lambda r, i, b, l, v: _augment_one(r, i, b, l, v, cfg, out_size)
+    )(rngs, images_u8, boxes, labels, valid)
+
+
+def eval_preprocess(images_u8: jnp.ndarray, cfg: DataConfig, out_size: int):
+    """Inference-time preprocessing: resize + normalize only (on device)."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    b = x.shape[0]
+    x = jax.image.resize(x, (b, out_size, out_size, 3), method="bilinear")
+    return (x - jnp.asarray(cfg.mean)) / jnp.asarray(cfg.std)

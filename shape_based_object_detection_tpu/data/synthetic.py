@@ -1,0 +1,55 @@
+"""Synthetic detection dataset: generated images with known boxes
+(SURVEY.md §4 item 5 — the overfit/integration-test oracle, and a stand-in
+when COCO/VOC data is not mounted)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+PALETTE = np.asarray(
+    [
+        [220, 40, 40],
+        [40, 200, 60],
+        [50, 80, 230],
+        [230, 200, 40],
+        [180, 60, 200],
+        [40, 210, 210],
+    ],
+    dtype=np.uint8,
+)
+
+
+class SyntheticDetection:
+    """Images of colored rectangles on noise; label = color index + 1."""
+
+    def __init__(self, size: int = 300, num_images: int = 64,
+                 max_objects: int = 4, num_classes: int = 4, seed: int = 0):
+        assert num_classes <= len(PALETTE)
+        self.size = size
+        self.num_images = num_images
+        self.max_objects = max_objects
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.num_images
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        rng = np.random.default_rng(self.seed * 100_003 + i)
+        s = self.size
+        img = rng.integers(80, 120, size=(s, s, 3), dtype=np.uint8)
+        n = int(rng.integers(1, self.max_objects + 1))
+        boxes, labels = [], []
+        for _ in range(n):
+            w = rng.uniform(0.15, 0.5)
+            h = rng.uniform(0.15, 0.5)
+            x0 = rng.uniform(0, 1 - w)
+            y0 = rng.uniform(0, 1 - h)
+            cls = int(rng.integers(0, self.num_classes))
+            px = [int(x0 * s), int(y0 * s), int((x0 + w) * s), int((y0 + h) * s)]
+            img[px[1] : px[3], px[0] : px[2]] = PALETTE[cls]
+            boxes.append([x0, y0, x0 + w, y0 + h])
+            labels.append(cls + 1)
+        return img, np.asarray(boxes, np.float32), np.asarray(labels, np.int32)

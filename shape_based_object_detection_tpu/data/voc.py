@@ -1,0 +1,89 @@
+"""PASCAL VOC dataset (component C2, SURVEY.md §2).
+
+Parses the standard VOCdevkit layout (JPEGImages/, Annotations/*.xml,
+ImageSets/Main/{split}.txt) with xml.etree — no external deps. Images are
+decoded and resized to the static model input size on the host (the only host
+image work); boxes come out normalized xyxy with 1-based labels.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+VOC_CLASSES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+VOC_CLASS_TO_ID = {c: i + 1 for i, c in enumerate(VOC_CLASSES)}  # 1-based
+
+
+def parse_voc_xml(path: str, keep_difficult: bool = False
+                  ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
+    """Returns (boxes_px xyxy (G,4), labels (G,), (height, width))."""
+    root = ET.parse(path).getroot()
+    size = root.find("size")
+    h = int(size.find("height").text)
+    w = int(size.find("width").text)
+    boxes, labels = [], []
+    for obj in root.iter("object"):
+        difficult = obj.find("difficult")
+        if not keep_difficult and difficult is not None and difficult.text == "1":
+            continue
+        name = obj.find("name").text.strip().lower()
+        if name not in VOC_CLASS_TO_ID:
+            continue
+        bb = obj.find("bndbox")
+        # VOC pixel coords are 1-based inclusive
+        x0 = float(bb.find("xmin").text) - 1
+        y0 = float(bb.find("ymin").text) - 1
+        x1 = float(bb.find("xmax").text) - 1
+        y1 = float(bb.find("ymax").text) - 1
+        boxes.append([x0, y0, x1, y1])
+        labels.append(VOC_CLASS_TO_ID[name])
+    return (
+        np.asarray(boxes, np.float32).reshape(-1, 4),
+        np.asarray(labels, np.int32),
+        (h, w),
+    )
+
+
+class VOCDetection:
+    """Indexable dataset of (image_u8 (S,S,3), boxes_norm (G,4), labels (G,))."""
+
+    def __init__(self, root: str, split: str = "train", image_size: int = 300,
+                 keep_difficult: bool = False,
+                 ids: Sequence[str] | None = None):
+        self.root = root
+        self.image_size = image_size
+        self.keep_difficult = keep_difficult
+        if ids is not None:
+            self.ids: List[str] = list(ids)
+        else:
+            split_file = os.path.join(root, "ImageSets", "Main", f"{split}.txt")
+            with open(split_file) as f:
+                self.ids = [line.strip().split()[0] for line in f if line.strip()]
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __getitem__(self, i: int):
+        from shape_based_object_detection_tpu.utils.image import decode_image_host
+        from PIL import Image
+
+        img_id = self.ids[i]
+        img = decode_image_host(os.path.join(self.root, "JPEGImages", f"{img_id}.jpg"))
+        boxes_px, labels, (h, w) = parse_voc_xml(
+            os.path.join(self.root, "Annotations", f"{img_id}.xml"),
+            self.keep_difficult,
+        )
+        boxes = boxes_px / np.array([w, h, w, h], np.float32)
+        s = self.image_size
+        img = np.asarray(
+            Image.fromarray(img).resize((s, s), Image.BILINEAR), np.uint8
+        )
+        return img, boxes, labels

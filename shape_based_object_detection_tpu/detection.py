@@ -1,0 +1,97 @@
+"""End-to-end inference: the public ``detect()`` (SURVEY.md §3.2).
+
+The whole pipeline — normalize -> backbone/heads -> decode -> score ->
+class-aware NMS -> fixed-size top-k — is ONE jitted XLA program per
+(model, batch-shape); no per-image host round-trips (BASELINE.json:6). The
+reference runs post-processing as a per-class Python loop on the host; here
+it is on-device with static shapes and a validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from shape_based_object_detection_tpu.config import ModelConfig, DataConfig
+from shape_based_object_detection_tpu.ops import anchors as anchor_lib
+from shape_based_object_detection_tpu.ops import boxes as box_ops
+from shape_based_object_detection_tpu.ops import nms as nms_lib
+from shape_based_object_detection_tpu.utils import image as image_lib
+
+
+def postprocess(
+    cls_logits: jnp.ndarray,  # (B, A, K)
+    box_offsets: jnp.ndarray,  # (B, A, 4)
+    anchors_cxcywh: jnp.ndarray,  # (A, 4)
+    cfg: ModelConfig,
+) -> nms_lib.Detections:
+    """Decode + score + class-aware NMS. Labels are 0-based foreground ids."""
+    det = cfg.detect
+    if det.use_sigmoid:
+        scores = jax.nn.sigmoid(cls_logits)  # (B, A, C)
+    else:
+        scores = jax.nn.softmax(cls_logits, axis=-1)[..., 1:]  # drop background
+
+    decoded = box_ops.decode_boxes(box_offsets, anchors_cxcywh,
+                                   cfg.anchors.variances)
+    boxes_xyxy = box_ops.clip_boxes(box_ops.cxcywh_to_xyxy(decoded))
+
+    select = jax.vmap(
+        functools.partial(
+            nms_lib.select_top_candidates,
+            score_threshold=det.score_threshold,
+            top_k=det.pre_nms_top_k,
+        )
+    )
+    cand_boxes, cand_scores, cand_classes, cand_valid = select(boxes_xyxy, scores)
+    return nms_lib.batched_class_aware_nms(
+        cand_boxes, cand_scores, cand_classes, cand_valid,
+        iou_threshold=det.nms_iou_threshold,
+        max_detections=det.max_detections,
+    )
+
+
+def make_detect_fn(module, anchors_cxcywh: jnp.ndarray, cfg: ModelConfig,
+                   data_cfg: DataConfig | None = None):
+    """Returns jitted detect(params, images) -> Detections.
+
+    ``images``: (B, H, W, 3) uint8 (raw) or float (pre-normalized if
+    normalize=False semantics are needed, pass uint8 — normalization happens
+    on-device). H=W=cfg.image_size; resizing arbitrary inputs to that static
+    shape is the input pipeline's job (host decode only).
+    """
+    mean = data_cfg.mean if data_cfg else image_lib.IMAGENET_MEAN
+    std = data_cfg.std if data_cfg else image_lib.IMAGENET_STD
+
+    @jax.jit
+    def detect(params, images):
+        x = image_lib.normalize_images(images, mean, std)
+        cls_logits, box_offsets = module.apply(params, x)
+        return postprocess(cls_logits, box_offsets, anchors_cxcywh, cfg)
+
+    return detect
+
+
+def detect_single_image(detect_fn, params, image_np, image_size: int
+                        ) -> Tuple:
+    """Convenience host wrapper: arbitrary (H, W, 3) uint8 numpy image ->
+    (boxes_px, scores, labels) in original pixel coordinates.
+
+    Host work is resize-to-static-shape only (one shape -> one compile).
+    """
+    import numpy as np
+
+    h, w = image_np.shape[:2]
+    # Host resize to the static network size (plain bilinear, like the family).
+    from PIL import Image
+
+    img = Image.fromarray(image_np).resize((image_size, image_size))
+    batch = np.asarray(img, dtype=np.uint8)[None]
+    det = detect_fn(params, jnp.asarray(batch))
+    valid = np.asarray(det.valid[0])
+    boxes = np.asarray(det.boxes[0])[valid]
+    boxes = boxes * np.array([w, h, w, h], np.float32)
+    return boxes, np.asarray(det.scores[0])[valid], np.asarray(det.labels[0])[valid]

@@ -1,0 +1,88 @@
+"""ResNet-50/101 backbone (component C8, SURVEY.md §2).
+
+Standard bottleneck ResNet v1 (He et al. 2015) with the torchvision-style "B"
+downsampling (stride 2 in each stage's first 3x3). Returns C3, C4, C5 feature
+taps for the FPN. NHWC, explicit padding matching a torch golden.
+
+BatchNorm is frozen by default (`train_bn=False`): detection fine-tuning
+freezes backbone BN statistics (standard practice, and it keeps train_step a
+pure function of params). With `train_bn=True` flax batch_stats are updated
+via the usual mutable collection.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+STAGE_BLOCKS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+}
+
+
+class Bottleneck(nn.Module):
+    channels: int  # bottleneck width; output is 4x this
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    train_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not self.train_bn, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        out_ch = self.channels * 4
+        residual = x
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = bn("bn3")(y)
+        if residual.shape[-1] != out_ch or self.stride != 1:
+            residual = nn.Conv(out_ch, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample")(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """Returns (C3, C4, C5) with strides (8, 16, 32)."""
+
+    variant: str = "resnet50"
+    width_mult: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+    train_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        blocks = STAGE_BLOCKS[self.variant]
+        w = lambda c: max(8, int(c * self.width_mult))
+
+        x = nn.Conv(w(64), (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not self.train_bn, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        taps = []
+        widths = (w(64), w(128), w(256), w(512))
+        for stage, (n_blocks, ch) in enumerate(zip(blocks, widths)):
+            for blk in range(n_blocks):
+                stride = 2 if (blk == 0 and stage > 0) else 1
+                x = Bottleneck(channels=ch, stride=stride, dtype=self.dtype,
+                               train_bn=self.train_bn,
+                               name=f"layer{stage + 1}_{blk}")(x)
+            taps.append(x)
+        return taps[1], taps[2], taps[3]  # C3, C4, C5

@@ -1,0 +1,171 @@
+"""Batched class-aware NMS with static shapes (component C16, SURVEY.md §2).
+
+The reference family implements post-processing as a per-class Python loop on
+the host — its inference hot loop. Here NMS is a fixed-shape XLA program that
+runs on-device inside the same jitted function as the forward pass:
+
+- Greedy NMS is expressed as ``max_detections`` sequential select-and-suppress
+  steps over a fixed candidate set (``lax.scan``). Each step is O(N) vector
+  work (one argmax + one IoU row), so the whole thing is O(max_det * N) with
+  no N x N materialization, static shapes, and no host round-trip. This is
+  bit-identical to classic sort-then-suppress NMS truncated to the top
+  ``max_detections`` survivors.
+- Class-awareness uses the coordinate-offset trick: shifting each candidate
+  box by ``class_id * offset`` (offset > any box extent) makes cross-class
+  IoU exactly 0, so one single-class NMS pass is mathematically identical to
+  independent per-class NMS. See `ops/nms_pallas.py` for the Pallas kernel
+  variant of the suppression loop.
+
+A full keep-mask variant (``nms_mask``) exists for golden-parity tests against
+a torch reference implementation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from shape_based_object_detection_tpu.ops import boxes as box_ops
+
+_NEG_INF = -1e10
+
+
+def _iou_row(box: jnp.ndarray, all_boxes: jnp.ndarray) -> jnp.ndarray:
+    """IoU of one (4,) box against (N, 4) boxes -> (N,)."""
+    lt = jnp.maximum(box[:2], all_boxes[:, :2])
+    rb = jnp.minimum(box[2:], all_boxes[:, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    area_a = jnp.clip(box[2] - box[0], 0.0, None) * jnp.clip(box[3] - box[1], 0.0, None)
+    area_b = box_ops.box_area(all_boxes)
+    return inter / jnp.maximum(area_a + area_b - inter, 1e-8)
+
+
+class NMSResult(NamedTuple):
+    indices: jnp.ndarray  # (max_detections,) int32 into the candidate set
+    scores: jnp.ndarray  # (max_detections,) suppressed entries are -inf-ish
+    valid: jnp.ndarray  # (max_detections,) bool
+
+
+def greedy_nms(
+    boxes_xyxy: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    max_detections: int,
+) -> NMSResult:
+    """Single-class greedy NMS over a fixed-size candidate set.
+
+    Args:
+      boxes_xyxy: (N, 4). scores: (N,). valid: (N,) bool — padding rows must
+        be False; they can never be selected nor suppress anything.
+    Returns indices of survivors in score order, padded with ``valid=False``.
+    """
+    live = jnp.where(valid, scores, _NEG_INF)
+
+    def step(live_scores, _):
+        idx = jnp.argmax(live_scores)
+        best = live_scores[idx]
+        is_valid = best > _NEG_INF / 2
+        ious = _iou_row(boxes_xyxy[idx], boxes_xyxy)
+        suppress = ious >= iou_threshold  # includes self (IoU 1)
+        live_scores = jnp.where(
+            jnp.logical_and(is_valid, suppress), _NEG_INF, live_scores
+        )
+        return live_scores, (idx.astype(jnp.int32), best, is_valid)
+
+    _, (idx, sc, ok) = jax.lax.scan(step, live, None, length=max_detections)
+    return NMSResult(indices=idx, scores=jnp.where(ok, sc, 0.0), valid=ok)
+
+
+def nms_mask(
+    boxes_xyxy: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Full (N,) keep mask — classic NMS semantics, for tests/golden parity."""
+    n = boxes_xyxy.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    res = greedy_nms(boxes_xyxy, scores, valid, iou_threshold, max_detections=n)
+    keep = jnp.zeros((n,), dtype=bool)
+    # .max, not .set: invalid slots carry a dummy index (the argmax over an
+    # all-suppressed set) and must not clear a previously kept entry.
+    return keep.at[res.indices].max(res.valid, mode="drop")
+
+
+class Detections(NamedTuple):
+    """Fixed-size per-image detection set (the public detect() output)."""
+
+    boxes: jnp.ndarray  # (B, max_detections, 4) xyxy
+    scores: jnp.ndarray  # (B, max_detections)
+    labels: jnp.ndarray  # (B, max_detections) int32
+    valid: jnp.ndarray  # (B, max_detections) bool
+
+
+def _single_image_class_aware_nms(
+    boxes_xyxy: jnp.ndarray,  # (N, 4) in [0, 1]
+    scores: jnp.ndarray,  # (N,)
+    classes: jnp.ndarray,  # (N,) int32
+    valid: jnp.ndarray,  # (N,) bool
+    iou_threshold: float,
+    max_detections: int,
+):
+    # Offset trick: boxes live in [0, 1]; +2.0 per class id separates classes.
+    offset = classes.astype(boxes_xyxy.dtype)[:, None] * 2.0
+    shifted = boxes_xyxy + offset
+    res = greedy_nms(shifted, scores, valid, iou_threshold, max_detections)
+    return (
+        boxes_xyxy[res.indices],
+        res.scores,
+        classes[res.indices],
+        res.valid,
+    )
+
+
+def batched_class_aware_nms(
+    boxes_xyxy: jnp.ndarray,  # (B, N, 4) normalized
+    scores: jnp.ndarray,  # (B, N)
+    classes: jnp.ndarray,  # (B, N) int32
+    valid: jnp.ndarray,  # (B, N) bool
+    iou_threshold: float,
+    max_detections: int,
+) -> Detections:
+    """Class-aware NMS over a batch of fixed-size candidate sets."""
+    fn = jax.vmap(
+        lambda b, s, c, v: _single_image_class_aware_nms(
+            b, s, c, v, iou_threshold, max_detections
+        )
+    )
+    bx, sc, cl, ok = fn(boxes_xyxy, scores, classes, valid)
+    return Detections(boxes=bx, scores=sc, labels=cl, valid=ok)
+
+
+def select_top_candidates(
+    boxes_xyxy: jnp.ndarray,  # (A, 4) decoded boxes (shared across classes)
+    class_scores: jnp.ndarray,  # (A, C) per-class scores (post sigmoid/softmax)
+    score_threshold: float,
+    top_k: int,
+):
+    """Flatten (anchor, class) pairs and keep the top-k by score.
+
+    Returns (boxes (K,4), scores (K,), classes (K,), valid (K,)) with classes
+    in [0, C). Below-threshold pairs are masked invalid (but still occupy
+    slots if fewer than K pass — callers rely on the valid mask, giving exact
+    per-class score-threshold semantics with static shapes).
+    """
+    a, c = class_scores.shape
+    flat = class_scores.reshape(-1)  # (A*C,) anchor-major
+    k = min(top_k, a * c)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    anchor_idx = top_idx // c
+    class_idx = (top_idx % c).astype(jnp.int32)
+    return (
+        boxes_xyxy[anchor_idx],
+        top_scores,
+        class_idx,
+        top_scores > score_threshold,
+    )

@@ -1,0 +1,68 @@
+"""Device mesh + shardings for data-parallel training (BASELINE config #5).
+
+TPU-native scaling: a ``jax.sharding.Mesh`` over ('data', 'model'), batch
+arrays sharded over 'data', params replicated. Gradients are averaged by XLA
+— ``jit`` with these shardings inserts the all-reduce over ICI within a slice
+and DCN across hosts; there is no hand-written collective in the hot path
+(the reference's NCCL/DataParallel analog is this compiler-inserted psum).
+
+The 'model' axis is kept in the mesh shape so tensor-parallel sharding is a
+config change (MeshConfig.model_parallelism), not a rewrite; detection models
+at this scale run with model_parallelism=1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shape_based_object_detection_tpu.config import MeshConfig
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    cfg: MeshConfig = MeshConfig(),
+) -> Mesh:
+    """Mesh over all devices: ('data', 'model') with model axis size
+    cfg.model_parallelism (default 1 -> pure DP)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    mp = max(1, cfg.model_parallelism)
+    assert n % mp == 0, f"{n} devices not divisible by model_parallelism={mp}"
+    arr = np.asarray(devices).reshape(n // mp, mp)
+    return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+
+
+def batch_sharding(mesh: Mesh, cfg: MeshConfig = MeshConfig()) -> NamedSharding:
+    """Leading batch dim sharded over the data axis."""
+    return NamedSharding(mesh, P(cfg.data_axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def initialize_multihost(coordinator: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host bring-up (config #5). On a real pod the three args come from
+    the scheduler; on single-host this is a no-op."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def local_batch_slice(global_batch: int, num_hosts: int, host_id: int):
+    """Each host feeds its shard of the global batch (grain-style sharding)."""
+    per_host = global_batch // num_hosts
+    start = per_host * host_id
+    return start, start + per_host

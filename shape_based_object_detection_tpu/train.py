@@ -1,0 +1,140 @@
+"""Training loop (component C17, SURVEY.md §2/§3.1).
+
+One jitted ``train_step(state, batch, rng)`` is the whole hot path:
+on-device augmentation -> forward -> matching -> loss -> grad -> update, with
+the state donated (params update in place in HBM). Under a data-parallel mesh
+the same function runs SPMD; XLA inserts the gradient all-reduce.
+
+The optimizer is the family-standard SGD + momentum with warmup + step decay
+and global-norm clipping, built as an optax chain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from shape_based_object_detection_tpu.config import ExperimentConfig
+from shape_based_object_detection_tpu.data.augment import augment_batch
+from shape_based_object_detection_tpu.losses import detection_loss
+from shape_based_object_detection_tpu.ops.matching import match_batch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any  # trainable collection ('params')
+    extra_vars: Any  # frozen collections (batch_stats etc.), not optimized
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_lr_schedule(cfg) -> optax.Schedule:
+    """Linear warmup then piecewise step decay (the family's schedule)."""
+    boundaries = {int(s): cfg.lr_decay_factor for s in cfg.lr_decay_steps}
+    decay = optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
+    warmup = optax.linear_schedule(0.0, cfg.base_lr, max(1, cfg.warmup_steps))
+    return optax.join_schedules([warmup, decay], [max(1, cfg.warmup_steps)])
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(cfg)
+    parts = [optax.clip_by_global_norm(cfg.grad_clip_norm)]
+    if cfg.weight_decay:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    if cfg.optimizer == "sgd":
+        parts.append(optax.sgd(schedule, momentum=cfg.momentum, nesterov=False))
+    elif cfg.optimizer == "adamw":
+        parts.append(optax.adamw(schedule))
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    return optax.chain(*parts)
+
+
+def create_train_state(
+    module, variables, cfg: ExperimentConfig, rng: Optional[jax.Array] = None
+) -> TrainState:
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(cfg.train)
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.train.seed)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        extra_vars=extra,
+        opt_state=tx.init(params),
+        rng=rng,
+    )
+
+
+def make_train_step(
+    module,
+    anchors: jnp.ndarray,
+    cfg: ExperimentConfig,
+    augment: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
+    """Builds the jitted, donated train step.
+
+    batch dict fields: images (B,S,S,3) uint8, boxes (B,G,4) normalized xyxy,
+    labels (B,G) int32 (1-based), valid (B,G) bool.
+    """
+    tx = make_optimizer(cfg.train)
+    variances = cfg.model.anchors.variances
+
+    def loss_fn(params, extra_vars, images, boxes, labels, valid):
+        x = images
+        cls_logits, box_offsets = module.apply({"params": params, **extra_vars}, x)
+        match = match_batch(anchors, boxes, labels, valid, cfg.match, variances)
+        loss, metrics = detection_loss(cls_logits, box_offsets, match, cfg.loss)
+        return loss, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, step_rng = jax.random.split(state.rng)
+        if augment:
+            images, boxes, labels, valid = augment_batch(
+                step_rng, batch["images"], batch["boxes"], batch["labels"],
+                batch["valid"], cfg.data, cfg.model.image_size,
+            )
+        else:
+            from shape_based_object_detection_tpu.utils.image import (
+                normalize_images,
+            )
+
+            images = normalize_images(batch["images"], cfg.data.mean, cfg.data.std)
+            boxes, labels, valid = batch["boxes"], batch["labels"], batch["valid"]
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.extra_vars, images, boxes, labels, valid
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(module, anchors: jnp.ndarray, cfg: ExperimentConfig):
+    """Jitted forward + postprocess for validation (one program, no host loop)."""
+    from shape_based_object_detection_tpu.detection import postprocess
+    from shape_based_object_detection_tpu.utils.image import normalize_images
+
+    @jax.jit
+    def eval_step(state: TrainState, images):
+        x = normalize_images(images, cfg.data.mean, cfg.data.std)
+        cls_logits, box_offsets = module.apply(
+            {"params": state.params, **state.extra_vars}, x
+        )
+        return postprocess(cls_logits, box_offsets, anchors, cfg.model)
+
+    return eval_step

@@ -1,0 +1,123 @@
+"""Full-model golden parity (SURVEY.md §4 tier 1, the load-bearing tests).
+
+Channel-scaled tiny models (width_mult=0.125) keep CPU runtime sane while
+exercising exactly the same code paths as the full architectures. Weights are
+created in torch, converted with utils/torch_convert, and both frameworks run
+the same input: outputs must agree within the BASELINE parity bar.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+from shape_based_object_detection_tpu import config
+from shape_based_object_detection_tpu.models.factory import build_model
+from shape_based_object_detection_tpu.utils.torch_convert import (
+    torch_state_dict_to_flax,
+)
+from tests.golden import torch_models as TM
+
+
+def _run_parity(flax_cfg, torch_model, image_size, atol=2e-4):
+    torch_model.eval()
+    module, params, anchors = build_model(flax_cfg)
+    params = torch_state_dict_to_flax(torch_model.state_dict(), params)
+
+    rng = np.random.default_rng(42)
+    img = rng.uniform(-1, 1, size=(1, image_size, image_size, 3)).astype(np.float32)
+
+    cls_j, box_j = module.apply(params, jnp.asarray(img))
+    with torch.no_grad():
+        cls_t, box_t = torch_model(torch.from_numpy(img).permute(0, 3, 1, 2))
+
+    np.testing.assert_allclose(
+        np.asarray(cls_j), cls_t.numpy(), atol=atol, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(box_j), box_t.numpy(), atol=atol, rtol=1e-3
+    )
+    return module, params, anchors
+
+
+def test_ssd_tiny_forward_parity():
+    cfg = config.tiny_test_model("ssd")
+    tm = TM.TorchSSD(image_size=300, num_classes=cfg.num_classes,
+                     width_mult=cfg.width_mult,
+                     aspect_ratios=cfg.anchors.aspect_ratios)
+    _run_parity(cfg, tm, 300)
+
+
+def test_retinanet_tiny_forward_parity():
+    cfg = config.tiny_test_model("retinanet")
+    tm = TM.TorchRetinaNet(variant="resnet50", num_classes=cfg.num_classes,
+                           width_mult=cfg.width_mult,
+                           fpn_channels=cfg.fpn_channels,
+                           head_depth=cfg.head_depth)
+    _run_parity(cfg, tm, cfg.image_size)
+
+
+def test_ssd_tiny_detect_parity():
+    """End-to-end detect(): decode + softmax + class-aware NMS vs a torch
+    sequential reference pipeline. Parity bar: box-IoU 0.99 / score 1e-3."""
+    from shape_based_object_detection_tpu.detection import make_detect_fn
+    from tests.golden import torch_ops as G
+
+    cfg = config.tiny_test_model("ssd")
+    tm = TM.TorchSSD(image_size=300, num_classes=cfg.num_classes,
+                     width_mult=cfg.width_mult,
+                     aspect_ratios=cfg.anchors.aspect_ratios)
+    module, params, anchors = _run_parity(cfg, tm, 300)
+
+    rng = np.random.default_rng(7)
+    img_u8 = rng.integers(0, 256, size=(1, 300, 300, 3), dtype=np.uint8)
+
+    detect = make_detect_fn(module, anchors, cfg)
+    det = detect(params, jnp.asarray(img_u8))
+
+    # torch reference pipeline (host, sequential)
+    from shape_based_object_detection_tpu.utils.image import (
+        IMAGENET_MEAN, IMAGENET_STD,
+    )
+    x = img_u8.astype(np.float32) / 255.0
+    x = (x - np.array(IMAGENET_MEAN)) / np.array(IMAGENET_STD)
+    with torch.no_grad():
+        cls_t, box_t = tm(torch.from_numpy(x.astype(np.float32)).permute(0, 3, 1, 2))
+    scores = torch.softmax(cls_t[0], -1)[:, 1:]  # (A, C)
+    dec = G.decode(box_t[0], torch.from_numpy(np.asarray(anchors)),
+                   cfg.anchors.variances)
+    dec_xyxy = G.cxcywh_to_xyxy(dec).clamp(0, 1)
+
+    golds = []
+    for c in range(cfg.num_classes):
+        sc = scores[:, c]
+        m = sc > cfg.detect.score_threshold
+        if m.sum() == 0:
+            continue
+        keep = G.nms(dec_xyxy[m], sc[m], cfg.detect.nms_iou_threshold)
+        for k in keep.tolist():
+            golds.append((float(sc[m][k]), c, dec_xyxy[m][k].numpy()))
+    golds.sort(key=lambda t: -t[0])
+    golds = golds[: cfg.detect.max_detections]
+
+    valid = np.asarray(det.valid[0])
+    ours = [
+        (float(s), int(l), b)
+        for s, l, b, v in zip(
+            np.asarray(det.scores[0]), np.asarray(det.labels[0]),
+            np.asarray(det.boxes[0]), valid,
+        )
+        if v
+    ]
+    # The jitted path pre-selects top-K candidates before NMS; with random
+    # weights there can be thousands of near-threshold candidates, so compare
+    # the confident head of both lists.
+    n = min(len(ours), len(golds), 50)
+    assert n > 0
+    for (s_o, l_o, b_o), (s_g, l_g, b_g) in zip(ours[:n], golds[:n]):
+        assert l_o == l_g
+        assert abs(s_o - s_g) < 1e-3
+        iou = G.iou_matrix(
+            torch.from_numpy(np.asarray(b_o, np.float32))[None],
+            torch.from_numpy(np.asarray(b_g, np.float32))[None],
+        )[0, 0]
+        assert float(iou) > 0.99
