@@ -1,0 +1,107 @@
+"""Headline benchmark: RetinaNet R50-FPN 512px batched inference
+images/sec/chip (the BASELINE.json north-star metric, config #2), compared to
+the torch-CPU reference implementation of the same architecture.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The torch-CPU baseline is measured once and cached in BASELINE_MEASURED.json
+(measuring it takes ~a minute on one core); delete the cache to re-measure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
+BATCH = 8
+SIZE = 512
+
+
+def measure_torch_baseline() -> float:
+    """images/sec of the torch-CPU golden RetinaNet R50 at 512px, batch 1."""
+    import numpy as np
+    import torch
+
+    import sys
+
+    sys.path.insert(0, REPO)
+    from tests.golden.torch_models import TorchRetinaNet
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    model = TorchRetinaNet(variant="resnet50", num_classes=80).eval()
+    x = torch.from_numpy(
+        np.random.default_rng(0).uniform(-1, 1, (1, 3, SIZE, SIZE)).astype("float32")
+    )
+    with torch.no_grad():
+        model(x)  # warmup
+        n = 3
+        t0 = time.perf_counter()
+        for _ in range(n):
+            model(x)
+        dt = (time.perf_counter() - t0) / n
+    return 1.0 / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["torch_cpu_retinanet_r50_512_images_per_sec"]
+    ips = measure_torch_baseline()
+    with open(CACHE, "w") as f:
+        json.dump(
+            {
+                "torch_cpu_retinanet_r50_512_images_per_sec": ips,
+                "note": "torch-CPU golden RetinaNet R50-FPN, 512px, batch 1, "
+                        "this host; the PyTorch-CPU reference stand-in "
+                        "(reference repo mount was empty — SURVEY.md §0)",
+            },
+            f, indent=2,
+        )
+    return ips
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu.models.factory import build_model
+    from shape_based_object_detection_tpu.detection import make_detect_fn
+
+    baseline_ips = get_baseline()
+
+    cfg = config_lib.get_config("config2_retinanet_r50_infer")
+    model_cfg = dataclasses.replace(cfg.model, dtype="bfloat16")
+    module, variables, anchors = build_model(model_cfg)
+    detect = make_detect_fn(module, anchors, model_cfg, cfg.data)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)
+    )
+
+    out = detect(variables, images)  # compile + warmup
+    jax.block_until_ready(out)
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = detect(variables, images)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    ips = BATCH / dt
+
+    print(json.dumps({
+        "metric": "retinanet_r50_fpn_512px_infer_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / baseline_ips, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

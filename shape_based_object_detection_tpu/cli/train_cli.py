@@ -1,0 +1,111 @@
+"""Training entry point (the reference's ``train.py`` analog, SURVEY.md §3.1).
+
+    python -m shape_based_object_detection_tpu.cli.train_cli \
+        --config config3_ssd512_voc_train --steps 1000 --data-root /data/VOC2007
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+import numpy as np
+
+
+def build_dataset(cfg, args):
+    from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
+    from shape_based_object_detection_tpu.data.voc import VOCDetection
+    from shape_based_object_detection_tpu.data.coco import CocoDetection
+
+    size = cfg.model.image_size
+    if args.data_root and cfg.data.dataset == "voc":
+        return VOCDetection(args.data_root, split=args.split, image_size=size)
+    if args.data_root and cfg.data.dataset == "coco":
+        return CocoDetection(args.data_root, args.ann_file, image_size=size)
+    return SyntheticDetection(size=size, num_images=max(64, cfg.data.batch_size * 4),
+                              num_classes=cfg.model.num_classes)
+
+
+def main(argv=None):
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu.models.factory import build_model
+    from shape_based_object_detection_tpu import train as train_lib
+    from shape_based_object_detection_tpu.checkpoint import CheckpointManager
+    from shape_based_object_detection_tpu.data.pipeline import Loader
+    from shape_based_object_detection_tpu.parallel import (
+        make_mesh, batch_sharding, initialize_multihost,
+    )
+    from shape_based_object_detection_tpu.utils.metrics import MetricsLogger
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="config3_ssd512_voc_train")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--ann-file", default="")
+    p.add_argument("--split", default="train")
+    p.add_argument("--steps", type=int, default=0, help="override total steps")
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--coordinator", default="")
+    args = p.parse_args(argv)
+
+    if args.num_processes > 1:
+        initialize_multihost(args.coordinator, args.num_processes, args.process_id)
+
+    cfg = config_lib.get_config(args.config)
+    if args.steps:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, total_steps=args.steps))
+    if args.batch_size:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
+    if args.checkpoint_dir:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           checkpoint_dir=args.checkpoint_dir))
+
+    module, variables, anchors = build_model(cfg.model)
+    state = train_lib.create_train_state(module, variables, cfg)
+    train_step = train_lib.make_train_step(module, anchors, cfg)
+
+    mesh = make_mesh(cfg=cfg.mesh)
+    data_shard = batch_sharding(mesh, cfg.mesh)
+
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        state = restored
+        print(f"restored checkpoint at step {int(state.step)}")
+
+    dataset = build_dataset(cfg, args)
+    loader = Loader(
+        dataset, cfg.data.batch_size // max(1, jax.process_count()),
+        cfg.data.max_boxes, seed=cfg.train.seed,
+        host_id=jax.process_index(), num_hosts=jax.process_count(),
+    )
+    logger = MetricsLogger(log_every=args.log_every)
+
+    step = int(state.step)
+    epoch = 0
+    while step < cfg.train.total_steps:
+        for batch in loader.device_batches(epoch, sharding=data_shard):
+            state, metrics = train_step(state, batch._asdict())
+            step += 1
+            line = logger.update(step, metrics, batch_size=cfg.data.batch_size)
+            if line:
+                print(line, flush=True)
+            if step % cfg.train.checkpoint_every == 0:
+                ckpt.save(state, step)
+            if step >= cfg.train.total_steps:
+                break
+        epoch += 1
+    ckpt.save(state, step)
+    ckpt.wait()
+    print(f"done at step {step}")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,9 @@ class ModelConfig:
     anchors: AnchorConfig = dataclasses.field(default_factory=AnchorConfig)
     detect: DetectConfig = dataclasses.field(default_factory=DetectConfig)
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+    # matmul/conv precision: "default" = fast MXU bf16 multiplies (production);
+    # "highest" = true fp32 accumulate+multiply (torch-parity mode).
+    precision: str = "default"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -326,8 +329,10 @@ def tiny_test_model(family: str = "ssd") -> ModelConfig:
     if family == "ssd":
         return dataclasses.replace(
             SSD300, name="ssd300_tiny", width_mult=0.125, num_classes=4,
+            precision="highest",
         )
     return dataclasses.replace(
         RETINANET_R50_512, name="retinanet_tiny", width_mult=0.125,
         image_size=128, fpn_channels=32, head_depth=1, num_classes=4,
+        precision="highest",
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -59,7 +60,11 @@ class RetinaNet(nn.Module):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         x = images.astype(dtype)
+        with jax.default_matmul_precision(cfg.precision):
+            return self._forward(x, dtype)
 
+    def _forward(self, x, dtype):
+        cfg = self.cfg
         c3, c4, c5 = ResNet(variant=cfg.backbone, width_mult=cfg.width_mult,
                             dtype=dtype, name="backbone")(x)
         pyramid = FPN(out_channels=cfg.fpn_channels, dtype=dtype,

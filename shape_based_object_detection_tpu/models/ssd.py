@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -79,6 +80,11 @@ class SSD(nn.Module):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         x = images.astype(dtype)
+        with jax.default_matmul_precision(cfg.precision):
+            return self._forward(x, dtype)
+
+    def _forward(self, x, dtype):
+        cfg = self.cfg
 
         conv4_3, conv7 = VGG16Trunk(width_mult=cfg.width_mult, dtype=dtype,
                                     name="vgg")(x)

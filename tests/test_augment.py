@@ -1,0 +1,107 @@
+"""On-device augmentation tests (component C4)."""
+
+import colorsys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from shape_based_object_detection_tpu.config import DataConfig
+from shape_based_object_detection_tpu.data import augment as A
+
+
+def test_hsv_roundtrip_matches_colorsys(rng):
+    px = rng.uniform(0, 1, size=(50, 3)).astype(np.float32)
+    hsv = np.asarray(A.rgb_to_hsv(jnp.asarray(px)))
+    for i in range(len(px)):
+        h, s, v = colorsys.rgb_to_hsv(*px[i])
+        np.testing.assert_allclose(hsv[i], [h, s, v], atol=1e-5)
+    back = np.asarray(A.hsv_to_rgb(jnp.asarray(hsv)))
+    np.testing.assert_allclose(back, px, atol=1e-5)
+
+
+def _batch(rng, b=2, s=64, g=5):
+    images = rng.integers(0, 255, size=(b, s, s, 3), dtype=np.uint8)
+    cxcy = rng.uniform(0.3, 0.7, size=(b, g, 2))
+    wh = rng.uniform(0.1, 0.2, size=(b, g, 2))
+    boxes = np.concatenate([cxcy - wh / 2, cxcy + wh / 2], -1).astype(np.float32)
+    labels = rng.integers(1, 4, size=(b, g)).astype(np.int32)
+    valid = np.ones((b, g), bool)
+    return images, boxes, labels, valid
+
+
+def test_identity_config_is_resize_normalize(rng):
+    images, boxes, labels, valid = _batch(rng)
+    cfg = DataConfig(hflip=False, photometric=False, expand=False,
+                     random_crop=False)
+    img, bx, lb, vd = A.augment_batch(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(boxes),
+        jnp.asarray(labels), jnp.asarray(valid), cfg, out_size=64,
+    )
+    expected = (images.astype(np.float32) / 255.0 - np.asarray(cfg.mean)) / np.asarray(cfg.std)
+    np.testing.assert_allclose(np.asarray(img), expected, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bx), boxes, atol=1e-6)
+    assert np.asarray(vd).all()
+
+
+def test_augment_shapes_and_validity(rng):
+    images, boxes, labels, valid = _batch(rng, b=3, s=64, g=6)
+    cfg = DataConfig()
+    f = jax.jit(
+        lambda k, i, b, l, v: A.augment_batch(k, i, b, l, v, cfg, 64),
+    )
+    img, bx, lb, vd = f(jax.random.PRNGKey(1), jnp.asarray(images),
+                        jnp.asarray(boxes), jnp.asarray(labels),
+                        jnp.asarray(valid))
+    assert img.shape == (3, 64, 64, 3)
+    assert bx.shape == (3, 6, 4)
+    bxn = np.asarray(bx)
+    vdn = np.asarray(vd)
+    # valid boxes stay in [0,1] with positive size
+    assert (bxn[vdn] >= -1e-6).all() and (bxn[vdn] <= 1 + 1e-6).all()
+    assert ((bxn[vdn][:, 2:] - bxn[vdn][:, :2]) > 0).all()
+    # labels never change
+    np.testing.assert_array_equal(np.asarray(lb), labels)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_augment_different_keys_differ(rng):
+    images, boxes, labels, valid = _batch(rng)
+    cfg = DataConfig()
+    out1 = A.augment_batch(jax.random.PRNGKey(0), jnp.asarray(images),
+                           jnp.asarray(boxes), jnp.asarray(labels),
+                           jnp.asarray(valid), cfg, 64)
+    out2 = A.augment_batch(jax.random.PRNGKey(7), jnp.asarray(images),
+                           jnp.asarray(boxes), jnp.asarray(labels),
+                           jnp.asarray(valid), cfg, 64)
+    assert not np.allclose(np.asarray(out1[0]), np.asarray(out2[0]))
+
+
+def test_hflip_box_math(rng):
+    """Force a flip by scanning keys until one flips, then verify geometry."""
+    images, boxes, labels, valid = _batch(rng, b=1, s=64, g=3)
+    cfg = DataConfig(hflip=True, photometric=False, expand=False,
+                     random_crop=False)
+    for seed in range(20):
+        img, bx, lb, vd = A.augment_batch(
+            jax.random.PRNGKey(seed), jnp.asarray(images), jnp.asarray(boxes),
+            jnp.asarray(labels), jnp.asarray(valid), cfg, 64)
+        if not np.allclose(np.asarray(bx), boxes):
+            flipped = np.asarray(bx)[0]
+            np.testing.assert_allclose(flipped[:, 0], 1.0 - boxes[0][:, 2], atol=1e-6)
+            np.testing.assert_allclose(flipped[:, 2], 1.0 - boxes[0][:, 0], atol=1e-6)
+            np.testing.assert_allclose(flipped[:, 1], boxes[0][:, 1], atol=1e-6)
+            # image flipped too
+            expected = (images[0, :, ::-1].astype(np.float32) / 255.0
+                        - np.asarray(cfg.mean)) / np.asarray(cfg.std)
+            np.testing.assert_allclose(np.asarray(img)[0], expected, atol=1e-4)
+            return
+    raise AssertionError("no flip observed in 20 keys (p < 1e-6)")
+
+
+def test_eval_preprocess(rng):
+    images = rng.integers(0, 255, size=(2, 32, 32, 3), dtype=np.uint8)
+    cfg = DataConfig()
+    out = A.eval_preprocess(jnp.asarray(images), cfg, 64)
+    assert out.shape == (2, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()

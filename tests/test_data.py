@@ -1,0 +1,146 @@
+"""Dataset / pipeline tests (components C2, C3, C5)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from shape_based_object_detection_tpu.data.pipeline import Loader, pad_annotations
+from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
+from shape_based_object_detection_tpu.data.voc import parse_voc_xml, VOCDetection
+from shape_based_object_detection_tpu.data.coco import CocoAnnotations, CocoDetection
+
+
+def test_pad_annotations():
+    boxes = np.asarray([[0.1, 0.1, 0.5, 0.5]], np.float32)
+    labels = np.asarray([3], np.int32)
+    b, l, v = pad_annotations(boxes, labels, 5)
+    assert b.shape == (5, 4) and l.shape == (5,) and v.shape == (5,)
+    assert v.tolist() == [True, False, False, False, False]
+    assert l[0] == 3
+
+
+def test_pad_annotations_truncates():
+    boxes = np.tile(np.asarray([[0.1, 0.1, 0.5, 0.5]], np.float32), (8, 1))
+    labels = np.arange(8, dtype=np.int32)
+    b, l, v = pad_annotations(boxes, labels, 4)
+    assert v.all() and b.shape == (4, 4)
+
+
+def test_synthetic_dataset():
+    ds = SyntheticDetection(size=64, num_images=10, num_classes=3)
+    img, boxes, labels = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert boxes.shape[1] == 4
+    assert (labels >= 1).all() and (labels <= 3).all()
+    # deterministic
+    img2, boxes2, _ = ds[0]
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_loader_batches():
+    ds = SyntheticDetection(size=32, num_images=10)
+    loader = Loader(ds, batch_size=4, max_boxes=6)
+    batches = list(loader.batches())
+    assert len(batches) == 2  # ragged tail dropped
+    b = batches[0]
+    assert b.images.shape == (4, 32, 32, 3)
+    assert b.boxes.shape == (4, 6, 4)
+    assert b.valid.any()
+
+
+def test_loader_host_sharding():
+    ds = SyntheticDetection(size=32, num_images=16)
+    l0 = Loader(ds, 2, 4, host_id=0, num_hosts=2)
+    l1 = Loader(ds, 2, 4, host_id=1, num_hosts=2)
+    i0 = l0._epoch_indices(0)
+    i1 = l1._epoch_indices(0)
+    assert len(set(i0) & set(i1)) == 0
+    assert len(i0) + len(i1) == 16
+
+
+VOC_XML = """<annotation>
+  <size><width>100</width><height>200</height><depth>3</depth></size>
+  <object><name>dog</name><difficult>0</difficult>
+    <bndbox><xmin>11</xmin><ymin>21</ymin><xmax>51</xmax><ymax>101</ymax></bndbox>
+  </object>
+  <object><name>cat</name><difficult>1</difficult>
+    <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>10</xmax><ymax>10</ymax></bndbox>
+  </object>
+</annotation>"""
+
+
+def test_parse_voc_xml(tmp_path):
+    p = tmp_path / "im1.xml"
+    p.write_text(VOC_XML)
+    boxes, labels, (h, w) = parse_voc_xml(str(p))
+    assert (h, w) == (200, 100)
+    assert boxes.shape == (1, 4)  # difficult cat skipped
+    np.testing.assert_allclose(boxes[0], [10, 20, 50, 100])
+    assert labels[0] == 12  # dog is class 12 (1-based) in VOC ordering
+
+    boxes2, labels2, _ = parse_voc_xml(str(p), keep_difficult=True)
+    assert boxes2.shape == (2, 4)
+
+
+def test_voc_dataset_end_to_end(tmp_path):
+    from PIL import Image
+
+    root = tmp_path / "VOC"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "Annotations").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    Image.fromarray(np.zeros((200, 100, 3), np.uint8)).save(
+        root / "JPEGImages" / "im1.jpg")
+    (root / "Annotations" / "im1.xml").write_text(VOC_XML)
+    (root / "ImageSets" / "Main" / "train.txt").write_text("im1\n")
+
+    ds = VOCDetection(str(root), "train", image_size=64)
+    assert len(ds) == 1
+    img, boxes, labels = ds[0]
+    assert img.shape == (64, 64, 3)
+    np.testing.assert_allclose(boxes[0], [0.1, 0.1, 0.5, 0.5])
+
+
+COCO_JSON = {
+    "images": [
+        {"id": 7, "file_name": "a.jpg", "height": 100, "width": 200},
+    ],
+    "categories": [
+        {"id": 1, "name": "person"},
+        {"id": 3, "name": "car"},
+        {"id": 90, "name": "toothbrush"},
+    ],
+    "annotations": [
+        {"id": 1, "image_id": 7, "category_id": 3, "bbox": [10, 20, 30, 40],
+         "iscrowd": 0, "area": 1200},
+        {"id": 2, "image_id": 7, "category_id": 90, "bbox": [0, 0, 5, 5],
+         "iscrowd": 1, "area": 25},
+    ],
+}
+
+
+def test_coco_annotations(tmp_path):
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(COCO_JSON))
+    coco = CocoAnnotations(str(p))
+    # contiguous remap: cat ids 1, 3, 90 -> labels 1, 2, 3
+    assert coco.cat_id_to_label == {1: 1, 3: 2, 90: 3}
+    boxes, labels = coco.boxes_for_image(7)
+    assert boxes.shape == (1, 4)  # crowd skipped
+    np.testing.assert_allclose(boxes[0], [10, 20, 40, 60])  # xywh -> xyxy
+    assert labels[0] == 2
+
+
+def test_coco_dataset_end_to_end(tmp_path):
+    from PIL import Image
+
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(COCO_JSON))
+    Image.fromarray(np.zeros((100, 200, 3), np.uint8)).save(tmp_path / "a.jpg")
+    ds = CocoDetection(str(tmp_path), str(p), image_size=32)
+    assert len(ds) == 1
+    img, boxes, labels = ds[0]
+    assert img.shape == (32, 32, 3)
+    np.testing.assert_allclose(boxes[0], [0.05, 0.2, 0.2, 0.6])

@@ -1,0 +1,116 @@
+"""Mesh/sharding tests (SURVEY.md §4 item 4): the multi-host DP path on 8
+virtual CPU devices — validates the config #5 sharding without a pod."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from shape_based_object_detection_tpu import config as config_lib
+from shape_based_object_detection_tpu import train as train_lib
+from shape_based_object_detection_tpu.models.factory import build_model
+from shape_based_object_detection_tpu.parallel import (
+    make_mesh, batch_sharding, replicated_sharding,
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+    assert mesh.axis_names == ("data", "model")
+
+    cfg = config_lib.MeshConfig(model_parallelism=2)
+    mesh2 = make_mesh(cfg=cfg)
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_data_parallel_train_step_on_mesh():
+    """Full train step sharded over 8 devices: grads all-reduce via XLA."""
+    model_cfg = config_lib.tiny_test_model("retinanet")
+    cfg = config_lib.ExperimentConfig(
+        model=model_cfg,
+        data=dataclasses.replace(
+            config_lib.DataConfig(batch_size=8, max_boxes=4),
+            photometric=False, expand=False, random_crop=False, hflip=False,
+        ),
+        train=dataclasses.replace(config_lib.TrainConfig(), weight_decay=0.0),
+        loss=config_lib.LossConfig(kind="focal"),
+    )
+    module, variables, anchors = build_model(model_cfg)
+    state = train_lib.create_train_state(module, variables, cfg)
+    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
+
+    mesh = make_mesh()
+    dshard = batch_sharding(mesh)
+    rshard = replicated_sharding(mesh)
+    state = jax.device_put(state, rshard)
+
+    b, g, s = 8, 4, model_cfg.image_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jax.device_put(
+            rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8), dshard),
+        "boxes": jax.device_put(
+            np.tile(np.asarray([0.2, 0.2, 0.6, 0.6], np.float32), (b, g, 1)),
+            dshard),
+        "labels": jax.device_put(np.ones((b, g), np.int32), dshard),
+        "valid": jax.device_put(
+            np.tile(np.asarray([True] + [False] * (g - 1)), (b, 1)), dshard),
+    }
+    new_state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # params must stay replicated after the update
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_equals_single_device():
+    """DP-sharded step == unsharded step (same data, same result)."""
+    model_cfg = config_lib.tiny_test_model("retinanet")
+    cfg = config_lib.ExperimentConfig(
+        model=model_cfg,
+        data=dataclasses.replace(
+            config_lib.DataConfig(batch_size=4, max_boxes=2),
+            photometric=False, expand=False, random_crop=False, hflip=False,
+        ),
+        train=dataclasses.replace(config_lib.TrainConfig(), weight_decay=0.0,
+                                  grad_clip_norm=1e9),
+        loss=config_lib.LossConfig(kind="focal"),
+    )
+    module, variables, anchors = build_model(model_cfg)
+    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
+
+    b, g, s = 4, 2, model_cfg.image_size
+    rng = np.random.default_rng(1)
+    batch = {
+        "images": rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8),
+        "boxes": np.tile(np.asarray([0.2, 0.2, 0.6, 0.6], np.float32), (b, g, 1)),
+        "labels": np.ones((b, g), np.int32),
+        "valid": np.ones((b, g), bool),
+    }
+
+    state1 = train_lib.create_train_state(module, variables, cfg)
+    _, m1 = step_fn(state1, jax.tree_util.tree_map(jnp.asarray, batch))
+
+    mesh = make_mesh(jax.devices()[:4])
+    dshard = batch_sharding(mesh)
+    state2 = jax.device_put(
+        train_lib.create_train_state(module, variables, cfg),
+        replicated_sharding(mesh))
+    sharded = {k: jax.device_put(v, dshard) for k, v in batch.items()}
+    _, m2 = step_fn(state2, sharded)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)
+
+
+def test_graft_entry_dryrun():
+    """The driver's multichip dry-run must work on the virtual CPU mesh."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

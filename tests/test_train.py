@@ -1,0 +1,128 @@
+"""Training-loop tests (components C17/C18): step mechanics, overfit
+integration (SURVEY.md §4 item 5), checkpoint roundtrip, LR schedule."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shape_based_object_detection_tpu import config as config_lib
+from shape_based_object_detection_tpu import train as train_lib
+from shape_based_object_detection_tpu.models.factory import build_model
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model_cfg = config_lib.tiny_test_model("retinanet")
+    cfg = config_lib.ExperimentConfig(
+        model=model_cfg,
+        data=dataclasses.replace(
+            config_lib.DataConfig(batch_size=2, max_boxes=4),
+            photometric=False, expand=False, random_crop=False, hflip=False,
+        ),
+        train=dataclasses.replace(
+            config_lib.TrainConfig(), base_lr=0.01, warmup_steps=5,
+            weight_decay=0.0, total_steps=1000, lr_decay_steps=(500,),
+        ),
+        match=config_lib.MatchConfig(pos_threshold=0.4, neg_threshold=0.4),
+        loss=config_lib.LossConfig(kind="focal"),
+    )
+    module, variables, anchors = build_model(model_cfg)
+    return cfg, module, variables, anchors
+
+
+def _fake_batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    b = cfg.data.batch_size
+    g = cfg.data.max_boxes
+    s = cfg.model.image_size
+    return {
+        "images": rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8),
+        "boxes": np.tile(np.asarray([0.25, 0.25, 0.7, 0.7], np.float32),
+                         (b, g, 1)),
+        "labels": np.full((b, g), 1, np.int32),
+        "valid": np.tile(np.asarray([True] + [False] * (g - 1)), (b, 1)),
+    }
+
+
+def test_train_step_runs_and_updates(tiny_setup):
+    cfg, module, variables, anchors = tiny_setup
+    state = train_lib.create_train_state(module, variables, cfg)
+    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
+    batch = _fake_batch(cfg)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, metrics = step_fn(state, batch)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["num_pos"]) > 0
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_overfit_synthetic(tiny_setup):
+    """Loss on a fixed batch must drop substantially — the end-to-end
+    gradient-correctness oracle."""
+    cfg, module, variables, anchors = tiny_setup
+    state = train_lib.create_train_state(module, variables, cfg)
+    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
+    batch = _fake_batch(cfg)
+    losses = []
+    for _ in range(40):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, f"no overfit: {losses[0]} -> {losses[-1]}"
+    assert all(np.isfinite(losses))
+
+
+def test_train_step_with_augmentation(tiny_setup):
+    cfg, module, variables, anchors = tiny_setup
+    aug_cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, photometric=True, expand=True,
+                                      random_crop=True, hflip=True))
+    state = train_lib.create_train_state(module, variables, aug_cfg)
+    step_fn = train_lib.make_train_step(module, anchors, aug_cfg, augment=True)
+    state, metrics = step_fn(state, _fake_batch(aug_cfg))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_lr_schedule():
+    cfg = dataclasses.replace(
+        config_lib.TrainConfig(), base_lr=1.0, warmup_steps=10,
+        lr_decay_steps=(100, 200), lr_decay_factor=0.1)
+    sched = train_lib.make_lr_schedule(cfg)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(5)), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(sched(50)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(sched(150)), 0.1, atol=1e-6)
+    np.testing.assert_allclose(float(sched(250)), 0.01, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    from shape_based_object_detection_tpu.checkpoint import CheckpointManager
+
+    cfg, module, variables, anchors = tiny_setup
+    state = train_lib.create_train_state(module, variables, cfg)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2, async_save=False)
+    mgr.save(state, step=3)
+    mgr.wait()
+
+    template = train_lib.create_train_state(
+        module, jax.tree_util.tree_map(jnp.zeros_like, variables), cfg)
+    restored = mgr.restore_latest(template)
+    assert restored is not None
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_eval_step(tiny_setup):
+    cfg, module, variables, anchors = tiny_setup
+    state = train_lib.create_train_state(module, variables, cfg)
+    eval_fn = train_lib.make_eval_step(module, anchors, cfg)
+    batch = _fake_batch(cfg)
+    det = eval_fn(state, jnp.asarray(batch["images"]))
+    assert det.boxes.shape[0] == cfg.data.batch_size
+    assert det.boxes.shape[1] == cfg.model.detect.max_detections
