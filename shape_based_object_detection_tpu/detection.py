@@ -22,13 +22,22 @@ from shape_based_object_detection_tpu.ops import nms as nms_lib
 from shape_based_object_detection_tpu.utils import image as image_lib
 
 
+def _use_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def postprocess(
     cls_logits: jnp.ndarray,  # (B, A, K)
     box_offsets: jnp.ndarray,  # (B, A, 4)
     anchors_cxcywh: jnp.ndarray,  # (A, 4)
     cfg: ModelConfig,
+    use_pallas: bool | None = None,
 ) -> nms_lib.Detections:
-    """Decode + score + class-aware NMS. Labels are 0-based foreground ids."""
+    """Decode + score + class-aware NMS. Labels are 0-based foreground ids.
+
+    On TPU the NMS suppression loop runs as the VMEM-resident Pallas kernel
+    (ops/nms_pallas.py); elsewhere the lax.scan formulation is used. Both are
+    numerically identical (tested)."""
     det = cfg.detect
     if det.use_sigmoid:
         scores = jax.nn.sigmoid(cls_logits)  # (B, A, C)
@@ -47,6 +56,18 @@ def postprocess(
         )
     )
     cand_boxes, cand_scores, cand_classes, cand_valid = select(boxes_xyxy, scores)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from shape_based_object_detection_tpu.ops.nms_pallas import (
+            batched_class_aware_nms_pallas,
+        )
+
+        return batched_class_aware_nms_pallas(
+            cand_boxes, cand_scores, cand_classes, cand_valid,
+            iou_threshold=det.nms_iou_threshold,
+            max_detections=det.max_detections,
+        )
     return nms_lib.batched_class_aware_nms(
         cand_boxes, cand_scores, cand_classes, cand_valid,
         iou_threshold=det.nms_iou_threshold,

@@ -68,6 +68,23 @@ def _match_class(
     scores = np.asarray([d[2] for d in dets])
     n = len(dets)
     t_count = len(iou_thresholds)
+
+    # native C++ fast path (csrc/ap_matcher.cpp); identical semantics
+    from shape_based_object_detection_tpu.utils.native import match_class_native
+
+    if n_gt:
+        gt_img_ids = np.concatenate(
+            [np.full(len(b), img, np.int32) for img, b in gts.items()])
+        gt_flat = (np.concatenate([np.asarray(b) for b in gts.values()])
+                   if gts else np.zeros((0, 4), np.float32))
+        det_boxes = np.stack([d[1] for d in dets]).astype(np.float32)
+        det_imgs = np.asarray([d[0] for d in dets], np.int32)
+        tp_native = match_class_native(
+            det_boxes, det_imgs, gt_flat.astype(np.float32), gt_img_ids,
+            np.asarray(iou_thresholds, np.float32))
+        if tp_native is not None:
+            return tp_native.astype(np.float32), scores, n_gt
+
     tp = np.zeros((t_count, n), np.float32)
 
     # per-image IoU between that image's (sorted) dets and its GT

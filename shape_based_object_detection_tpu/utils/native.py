@@ -1,0 +1,96 @@
+"""ctypes loader for the native C++ eval kernel (csrc/ap_matcher.cpp).
+
+Builds the shared library on first use with g++ (cached next to the source;
+no pybind11 needed — plain C ABI). Falls back gracefully: callers check
+``load_ap_matcher() is not None`` and use the pure-Python path otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_CSRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "csrc",
+)
+_SO = os.path.join(_CSRC, "libap_matcher.so")
+
+
+def _build() -> bool:
+    src = os.path.join(_CSRC, "ap_matcher.cpp")
+    if not os.path.exists(src):
+        return False
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def load_ap_matcher() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.sbd_match_class.restype = None
+        lib.sbd_match_class.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def match_class_native(
+    det_boxes: np.ndarray,  # (N, 4) float32, score-sorted desc
+    det_img_ids: np.ndarray,  # (N,) int32
+    gt_boxes: np.ndarray,  # (M, 4) float32
+    gt_img_ids: np.ndarray,  # (M,) int32
+    thresholds: np.ndarray,  # (T,) float32
+) -> Optional[np.ndarray]:
+    """Returns (T, N) uint8 tp matrix, or None if the library is unavailable."""
+    lib = load_ap_matcher()
+    if lib is None:
+        return None
+    det_boxes = np.ascontiguousarray(det_boxes, np.float32)
+    det_img_ids = np.ascontiguousarray(det_img_ids, np.int32)
+    gt_boxes = np.ascontiguousarray(gt_boxes, np.float32)
+    gt_img_ids = np.ascontiguousarray(gt_img_ids, np.int32)
+    thresholds = np.ascontiguousarray(thresholds, np.float32)
+    n, m, t = len(det_img_ids), len(gt_img_ids), len(thresholds)
+    tp = np.zeros((t, n), np.uint8)
+    fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    lib.sbd_match_class(
+        fptr(det_boxes), iptr(det_img_ids), n,
+        fptr(gt_boxes), iptr(gt_img_ids), m,
+        fptr(thresholds), t,
+        tp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return tp

@@ -1,0 +1,59 @@
+"""Native C++ AP matcher vs the pure-Python reference path (must be identical)."""
+
+import numpy as np
+import pytest
+
+from shape_based_object_detection_tpu.eval.ap import (
+    DetectionRecord, GroundTruthRecord, coco_map,
+)
+from shape_based_object_detection_tpu.utils import native
+
+
+def _random_records(rng, n_images=6, n_classes=3):
+    dets, gts = [], []
+    for img in range(n_images):
+        g = int(rng.integers(1, 5))
+        cxcy = rng.uniform(0.2, 0.8, (g, 2))
+        wh = rng.uniform(0.1, 0.3, (g, 2))
+        gt_boxes = np.concatenate([cxcy - wh / 2, cxcy + wh / 2], 1).astype(np.float32)
+        gt_labels = rng.integers(1, n_classes + 1, g).astype(np.int64)
+        gts.append(GroundTruthRecord(img, gt_boxes, gt_labels))
+
+        d = int(rng.integers(2, 8))
+        base = gt_boxes[rng.integers(0, g, d)]
+        noise = rng.normal(0, 0.03, (d, 4)).astype(np.float32)
+        det_boxes = base + noise
+        dets.append(DetectionRecord(
+            img, det_boxes, rng.uniform(0.1, 1.0, d).astype(np.float32),
+            rng.integers(1, n_classes + 1, d).astype(np.int64)))
+    return dets, gts
+
+
+def test_native_matches_python(rng, monkeypatch):
+    if native.load_ap_matcher() is None:
+        pytest.skip("g++ unavailable")
+    dets, gts = _random_records(rng)
+    m_native = coco_map(dets, gts)
+
+    # disable the native fast path -> pure-Python reference loop
+    monkeypatch.setattr(native, "match_class_native", lambda *a, **k: None)
+    m_python = coco_map(dets, gts)
+
+    np.testing.assert_allclose(m_native["mAP"], m_python["mAP"], atol=1e-9)
+    np.testing.assert_allclose(m_native["AP50"], m_python["AP50"], atol=1e-9)
+    for c in m_native["per_class"]:
+        np.testing.assert_allclose(
+            m_native["per_class"][c], m_python["per_class"][c], atol=1e-9)
+
+
+def test_native_library_builds():
+    lib = native.load_ap_matcher()
+    if lib is None:
+        pytest.skip("g++ unavailable")
+    # direct call on a trivial case: one det == one gt
+    tp = native.match_class_native(
+        np.asarray([[0, 0, 1, 1]], np.float32), np.asarray([0], np.int32),
+        np.asarray([[0, 0, 1, 1]], np.float32), np.asarray([0], np.int32),
+        np.asarray([0.5, 0.95], np.float32),
+    )
+    np.testing.assert_array_equal(tp, [[1], [1]])

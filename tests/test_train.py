@@ -52,13 +52,15 @@ def test_train_step_runs_and_updates(tiny_setup):
     state = train_lib.create_train_state(module, variables, cfg)
     step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
     batch = _fake_batch(cfg)
-    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
     state, metrics = step_fn(state, batch)
     assert int(state.step) == 1
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["num_pos"]) > 0
-    p1 = jax.tree_util.tree_leaves(state.params)[0]
-    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # step 1 runs at warmup lr(0)=0; step 2 must move the params
+    state, metrics = step_fn(state, batch)
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.allclose(p0, p1)
 
 
 def test_overfit_synthetic(tiny_setup):
