@@ -303,8 +303,23 @@ def _preset_5() -> ExperimentConfig:
     )
 
 
+def _preset_tiny(family: str) -> ExperimentConfig:
+    """Channel-scaled miniature configs (CPU-testable; same code paths)."""
+    return ExperimentConfig(
+        model=tiny_test_model(family),
+        data=DataConfig(dataset="synthetic", batch_size=2, max_boxes=8),
+        train=TrainConfig(base_lr=0.01, warmup_steps=5, total_steps=100,
+                          lr_decay_steps=(80,), checkpoint_every=50,
+                          weight_decay=0.0),
+        match=MatchConfig(pos_threshold=0.4, neg_threshold=0.4),
+        loss=LossConfig(kind="multibox" if family == "ssd" else "focal"),
+    )
+
+
 PRESETS = {
     "config1_ssd300_infer": _preset_1,
+    "tiny_ssd": lambda: _preset_tiny("ssd"),
+    "tiny_retinanet": lambda: _preset_tiny("retinanet"),
     "config2_retinanet_r50_infer": _preset_2,
     "config3_ssd512_voc_train": _preset_3,
     "config4_retinanet_r101_coco_train": _preset_4,

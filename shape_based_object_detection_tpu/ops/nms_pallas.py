@@ -1,17 +1,21 @@
-"""Pallas TPU kernel for greedy NMS (component C16's hot path).
+"""Pallas TPU kernel for batched greedy NMS (component C16's hot path).
 
 The XLA ``lax.scan`` formulation in ops/nms.py dispatches ~max_detections
 separate fused ops with HBM round-trips for the carried score vector. This
-kernel keeps the whole candidate set (boxes transposed to (4, N) so N rides
-the 128-wide lane dimension, plus the live-score vector) resident in VMEM and
-runs the entire select-and-suppress loop on the VPU:
+kernel keeps the whole batch of candidate sets in VMEM (coordinates laid out
+(B, N) so N rides the 128-wide lanes and the batch rides sublanes) and runs
+the entire select-and-suppress loop on the VPU with every image advancing in
+lockstep:
 
-  per iteration: 1 max-reduce (select) + ~12 elementwise ops over N (one IoU
-  row + suppression mask) — no gathers (selection uses an iota/one-hot
-  reduction), no HBM traffic, no per-step dispatch overhead.
+  per iteration: row-wise max (select) + ~12 elementwise ops over (B, N)
+  (one IoU row per image + suppression masks). No gathers (selection uses
+  iota/one-hot reductions), no dynamic stores (results accumulate in
+  loop-carried (B, max_det) registers, stored once), no HBM traffic inside
+  the loop, no per-step XLA dispatch.
 
-Grid = batch; one program per image. Numerics match ops/nms.greedy_nms
-bit-for-bit on ties (first index wins via the min-index reduction).
+TPU v5e has one tensorcore, so batching inside ONE kernel invocation (rather
+than a grid over images, which would serialize) is what buys the speedup.
+Numerics match ops/nms.greedy_nms bit-for-bit on ties (first index wins).
 """
 
 from __future__ import annotations
@@ -26,29 +30,33 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e10
 
 
-def _nms_kernel(boxes_ref, scores_ref, valid_ref, idx_ref, score_ref,
-                valid_out_ref, *, iou_threshold: float, max_detections: int,
-                n: int):
-    # blocks arrive as (1, 4, N) / (1, 1, N); peel the grid dim
-    x0 = boxes_ref[0, 0:1, :]  # (1, N)
-    y0 = boxes_ref[0, 1:2, :]
-    x1 = boxes_ref[0, 2:3, :]
-    y1 = boxes_ref[0, 3:4, :]
+def _nms_kernel(x0_ref, y0_ref, x1_ref, y1_ref, scores_ref, valid_ref,
+                idx_ref, score_ref, valid_out_ref, *, iou_threshold: float,
+                max_detections: int, n: int):
+    x0, y0 = x0_ref[:, :], y0_ref[:, :]  # (B, N)
+    x1, y1 = x1_ref[:, :], y1_ref[:, :]
     area = jnp.maximum(x1 - x0, 0.0) * jnp.maximum(y1 - y0, 0.0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    b = x0.shape[0]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
 
-    live0 = jnp.where(valid_ref[0, 0:1, :] > 0, scores_ref[0, 0:1, :], _NEG)
+    live0 = jnp.where(valid_ref[:, :] > 0, scores_ref[:, :], _NEG)
 
-    def body(i, live):
-        best = jnp.max(live)
+    m = max_detections
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    acc0 = (jnp.zeros((b, m), jnp.int32), jnp.zeros((b, m), jnp.float32),
+            jnp.zeros((b, m), jnp.int32))
+
+    def body(i, carry):
+        live, idx_acc, score_acc, ok_acc = carry
+        best = jnp.max(live, axis=1, keepdims=True)  # (B, 1)
         found = best > _NEG / 2
         is_best = live == best
-        fi = jnp.min(jnp.where(is_best, iota, n))  # first max index
-        onehot = iota == fi
-        bx0 = jnp.sum(jnp.where(onehot, x0, 0.0))
-        by0 = jnp.sum(jnp.where(onehot, y0, 0.0))
-        bx1 = jnp.sum(jnp.where(onehot, x1, 0.0))
-        by1 = jnp.sum(jnp.where(onehot, y1, 0.0))
+        fi = jnp.min(jnp.where(is_best, iota_n, n), axis=1, keepdims=True)
+        onehot = iota_n == fi  # (B, N)
+        bx0 = jnp.sum(jnp.where(onehot, x0, 0.0), axis=1, keepdims=True)
+        by0 = jnp.sum(jnp.where(onehot, y0, 0.0), axis=1, keepdims=True)
+        bx1 = jnp.sum(jnp.where(onehot, x1, 0.0), axis=1, keepdims=True)
+        by1 = jnp.sum(jnp.where(onehot, y1, 0.0), axis=1, keepdims=True)
         iw = jnp.maximum(jnp.minimum(x1, bx1) - jnp.maximum(x0, bx0), 0.0)
         ih = jnp.maximum(jnp.minimum(y1, by1) - jnp.maximum(y0, by0), 0.0)
         inter = iw * ih
@@ -57,12 +65,17 @@ def _nms_kernel(boxes_ref, scores_ref, valid_ref, idx_ref, score_ref,
         suppress = jnp.logical_and(found, iou >= iou_threshold)
         live = jnp.where(suppress, _NEG, live)
 
-        idx_ref[0, 0, pl.ds(i, 1)] = jnp.where(found, fi, 0)[None]
-        score_ref[0, 0, pl.ds(i, 1)] = jnp.where(found, best, 0.0)[None]
-        valid_out_ref[0, 0, pl.ds(i, 1)] = found.astype(jnp.int32)[None]
-        return live
+        slot = jnp.logical_and(iota_m == i, found)  # (B, M)
+        idx_acc = jnp.where(slot, fi, idx_acc)
+        score_acc = jnp.where(slot, best, score_acc)
+        ok_acc = jnp.where(slot, 1, ok_acc)
+        return live, idx_acc, score_acc, ok_acc
 
-    jax.lax.fori_loop(0, max_detections, body, live0)
+    _, idx_acc, score_acc, ok_acc = jax.lax.fori_loop(
+        0, m, body, (live0,) + acc0)
+    idx_ref[:, :] = idx_acc
+    score_ref[:, :] = score_acc
+    valid_out_ref[:, :] = ok_acc
 
 
 @functools.partial(
@@ -80,42 +93,28 @@ def greedy_nms_pallas(
     (B, max_detections); apply the class-offset trick upstream for
     class-aware semantics."""
     b, n, _ = boxes_xyxy.shape
-    boxes_t = jnp.transpose(boxes_xyxy, (0, 2, 1)).astype(jnp.float32)  # (B,4,N)
-    scores_f = scores.astype(jnp.float32)[:, None, :]  # (B,1,N)
-    valid_f = valid.astype(jnp.float32)[:, None, :]
+    coords = [boxes_xyxy[:, :, c].astype(jnp.float32) for c in range(4)]
+    scores_f = scores.astype(jnp.float32)
+    valid_f = valid.astype(jnp.float32)
 
     kernel = functools.partial(
         _nms_kernel, iou_threshold=float(iou_threshold),
         max_detections=int(max_detections), n=n,
     )
     m = max_detections
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     idx, sc, ok = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 4, n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[vmem] * 6,
+        out_specs=[vmem] * 3,
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
+            jax.ShapeDtypeStruct((b, m), jnp.int32),
+            jax.ShapeDtypeStruct((b, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, m), jnp.int32),
         ],
         interpret=interpret,
-    )(boxes_t, scores_f, valid_f)
-    return idx[:, 0, :], sc[:, 0, :], ok[:, 0, :].astype(bool)
+    )(*coords, scores_f, valid_f)
+    return idx, sc, ok.astype(bool)
 
 
 def batched_class_aware_nms_pallas(

@@ -58,8 +58,14 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
 def create_train_state(
     module, variables, cfg: ExperimentConfig, rng: Optional[jax.Array] = None
 ) -> TrainState:
-    params = variables["params"]
-    extra = {k: v for k, v in variables.items() if k != "params"}
+    # Copy leaves: train_step donates the state, which would otherwise
+    # invalidate the caller's `variables` buffers on the first step.
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                    variables["params"])
+    extra = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True),
+        {k: v for k, v in variables.items() if k != "params"},
+    )
     tx = make_optimizer(cfg.train)
     if rng is None:
         rng = jax.random.PRNGKey(cfg.train.seed)
