@@ -123,52 +123,33 @@ def clip_boxes(boxes_xyxy: jnp.ndarray, lo: float = 0.0, hi: float = 1.0) -> jnp
     return jnp.clip(boxes_xyxy, lo, hi)
 
 
-def letterbox_params(orig_h, orig_w, target: int):
-    """Scale + offsets mapping an (orig_h, orig_w) image into a target x target
-    letterboxed canvas (aspect preserved, padded bottom/right).
-
-    Returns (scale, pad_y, pad_x) in pixel units. Works on traced values.
-    """
-    scale = target / jnp.maximum(jnp.maximum(orig_h, orig_w), 1)
-    pad_y = jnp.zeros_like(scale)
-    pad_x = jnp.zeros_like(scale)
-    return scale, pad_y, pad_x
-
-
 def boxes_to_original(
     boxes_xyxy_norm: jnp.ndarray,
     orig_h,
     orig_w,
-    target: int,
-    letterboxed: bool = True,
+    letterboxed: bool = False,
 ) -> jnp.ndarray:
     """Map normalized boxes on the network input back to original pixel coords.
 
-    With letterboxing the image occupies the top-left (orig * scale) region of
-    the canvas; undo that then rescale.
+    Plain-resize mode (the family default): multiply by (W, H). Letterbox
+    mode (aspect-preserving pad bottom/right): the source occupies the
+    top-left max(H,W)-normalized region of the canvas, so canvas fraction f
+    maps to pixel f * max(H, W), clipped to the image. Jit-safe for traced
+    orig_h/orig_w.
     """
+    w = jnp.asarray(orig_w, jnp.float32)
+    h = jnp.asarray(orig_h, jnp.float32)
     if letterboxed:
-        longest = jnp.maximum(orig_h, orig_w).astype(jnp.float32)
-        sx = longest / target * target  # canvas fraction -> pixels of longest side
-        sy = sx
-        scale = jnp.stack([sx, sy, sx, sy], axis=-1)
-        boxes = boxes_xyxy_norm * scale
-        return jnp.concatenate(
-            [
-                jnp.clip(boxes[..., 0:1], 0, orig_w),
-                jnp.clip(boxes[..., 1:2], 0, orig_h),
-                jnp.clip(boxes[..., 2:3], 0, orig_w),
-                jnp.clip(boxes[..., 3:4], 0, orig_h),
-            ],
-            axis=-1,
-        )
-    scale = jnp.stack(
+        longest = jnp.maximum(h, w)
+        boxes = boxes_xyxy_norm * longest
+    else:
+        boxes = boxes_xyxy_norm * jnp.stack([w, h, w, h], axis=-1)
+    return jnp.stack(
         [
-            jnp.asarray(orig_w, jnp.float32),
-            jnp.asarray(orig_h, jnp.float32),
-            jnp.asarray(orig_w, jnp.float32),
-            jnp.asarray(orig_h, jnp.float32),
+            jnp.clip(boxes[..., 0], 0, w),
+            jnp.clip(boxes[..., 1], 0, h),
+            jnp.clip(boxes[..., 2], 0, w),
+            jnp.clip(boxes[..., 3], 0, h),
         ],
         axis=-1,
     )
-    return boxes_xyxy_norm * scale

@@ -1,6 +1,11 @@
-"""On-device augmentation tests (component C4)."""
+"""On-device augmentation tests (component C4).
+
+Compile budget matters on the 1-core CPU test host: each distinct
+(cfg, shape) pair is jitted exactly once per module (cached fns below).
+"""
 
 import colorsys
+import functools
 
 import numpy as np
 import jax
@@ -8,6 +13,20 @@ import jax.numpy as jnp
 
 from shape_based_object_detection_tpu.config import DataConfig
 from shape_based_object_detection_tpu.data import augment as A
+
+_SIZE = 64
+_FULL_CFG = DataConfig()
+_IDENTITY_CFG = DataConfig(hflip=False, photometric=False, expand=False,
+                           random_crop=False)
+_FLIP_CFG = DataConfig(hflip=True, photometric=False, expand=False,
+                       random_crop=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(cfg: DataConfig):
+    return jax.jit(
+        lambda k, i, b, l, v: A.augment_batch(k, i, b, l, v, cfg, _SIZE)
+    )
 
 
 def test_hsv_roundtrip_matches_colorsys(rng):
@@ -20,7 +39,7 @@ def test_hsv_roundtrip_matches_colorsys(rng):
     np.testing.assert_allclose(back, px, atol=1e-5)
 
 
-def _batch(rng, b=2, s=64, g=5):
+def _batch(rng, b=2, s=_SIZE, g=5):
     images = rng.integers(0, 255, size=(b, s, s, 3), dtype=np.uint8)
     cxcy = rng.uniform(0.3, 0.7, size=(b, g, 2))
     wh = rng.uniform(0.1, 0.2, size=(b, g, 2))
@@ -32,11 +51,10 @@ def _batch(rng, b=2, s=64, g=5):
 
 def test_identity_config_is_resize_normalize(rng):
     images, boxes, labels, valid = _batch(rng)
-    cfg = DataConfig(hflip=False, photometric=False, expand=False,
-                     random_crop=False)
-    img, bx, lb, vd = A.augment_batch(
+    cfg = _IDENTITY_CFG
+    img, bx, lb, vd = _jitted(cfg)(
         jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(boxes),
-        jnp.asarray(labels), jnp.asarray(valid), cfg, out_size=64,
+        jnp.asarray(labels), jnp.asarray(valid),
     )
     expected = (images.astype(np.float32) / 255.0 - np.asarray(cfg.mean)) / np.asarray(cfg.std)
     np.testing.assert_allclose(np.asarray(img), expected, atol=1e-4)
@@ -45,53 +63,44 @@ def test_identity_config_is_resize_normalize(rng):
 
 
 def test_augment_shapes_and_validity(rng):
-    images, boxes, labels, valid = _batch(rng, b=3, s=64, g=6)
-    cfg = DataConfig()
-    f = jax.jit(
-        lambda k, i, b, l, v: A.augment_batch(k, i, b, l, v, cfg, 64),
-    )
-    img, bx, lb, vd = f(jax.random.PRNGKey(1), jnp.asarray(images),
-                        jnp.asarray(boxes), jnp.asarray(labels),
-                        jnp.asarray(valid))
-    assert img.shape == (3, 64, 64, 3)
-    assert bx.shape == (3, 6, 4)
+    images, boxes, labels, valid = _batch(rng, b=2, g=5)
+    img, bx, lb, vd = _jitted(_FULL_CFG)(
+        jax.random.PRNGKey(1), jnp.asarray(images), jnp.asarray(boxes),
+        jnp.asarray(labels), jnp.asarray(valid))
+    assert img.shape == (2, _SIZE, _SIZE, 3)
+    assert bx.shape == (2, 5, 4)
     bxn = np.asarray(bx)
     vdn = np.asarray(vd)
-    # valid boxes stay in [0,1] with positive size
     assert (bxn[vdn] >= -1e-6).all() and (bxn[vdn] <= 1 + 1e-6).all()
     assert ((bxn[vdn][:, 2:] - bxn[vdn][:, :2]) > 0).all()
-    # labels never change
     np.testing.assert_array_equal(np.asarray(lb), labels)
     assert np.isfinite(np.asarray(img)).all()
 
 
 def test_augment_different_keys_differ(rng):
     images, boxes, labels, valid = _batch(rng)
-    cfg = DataConfig()
-    out1 = A.augment_batch(jax.random.PRNGKey(0), jnp.asarray(images),
-                           jnp.asarray(boxes), jnp.asarray(labels),
-                           jnp.asarray(valid), cfg, 64)
-    out2 = A.augment_batch(jax.random.PRNGKey(7), jnp.asarray(images),
-                           jnp.asarray(boxes), jnp.asarray(labels),
-                           jnp.asarray(valid), cfg, 64)
+    f = _jitted(_FULL_CFG)
+    args = (jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(labels),
+            jnp.asarray(valid))
+    out1 = f(jax.random.PRNGKey(0), *args)
+    out2 = f(jax.random.PRNGKey(7), *args)
     assert not np.allclose(np.asarray(out1[0]), np.asarray(out2[0]))
 
 
 def test_hflip_box_math(rng):
-    """Force a flip by scanning keys until one flips, then verify geometry."""
-    images, boxes, labels, valid = _batch(rng, b=1, s=64, g=3)
-    cfg = DataConfig(hflip=True, photometric=False, expand=False,
-                     random_crop=False)
+    """Scan keys (one compiled fn) until one flips, then verify geometry."""
+    images, boxes, labels, valid = _batch(rng, b=1, g=3)
+    cfg = _FLIP_CFG
+    f = _jitted(cfg)
+    args = (jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(labels),
+            jnp.asarray(valid))
     for seed in range(20):
-        img, bx, lb, vd = A.augment_batch(
-            jax.random.PRNGKey(seed), jnp.asarray(images), jnp.asarray(boxes),
-            jnp.asarray(labels), jnp.asarray(valid), cfg, 64)
+        img, bx, lb, vd = f(jax.random.PRNGKey(seed), *args)
         if not np.allclose(np.asarray(bx), boxes):
             flipped = np.asarray(bx)[0]
             np.testing.assert_allclose(flipped[:, 0], 1.0 - boxes[0][:, 2], atol=1e-6)
             np.testing.assert_allclose(flipped[:, 2], 1.0 - boxes[0][:, 0], atol=1e-6)
             np.testing.assert_allclose(flipped[:, 1], boxes[0][:, 1], atol=1e-6)
-            # image flipped too
             expected = (images[0, :, ::-1].astype(np.float32) / 255.0
                         - np.asarray(cfg.mean)) / np.asarray(cfg.std)
             np.testing.assert_allclose(np.asarray(img)[0], expected, atol=1e-4)
@@ -101,7 +110,6 @@ def test_hflip_box_math(rng):
 
 def test_eval_preprocess(rng):
     images = rng.integers(0, 255, size=(2, 32, 32, 3), dtype=np.uint8)
-    cfg = DataConfig()
-    out = A.eval_preprocess(jnp.asarray(images), cfg, 64)
+    out = A.eval_preprocess(jnp.asarray(images), _FULL_CFG, 64)
     assert out.shape == (2, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()

@@ -8,6 +8,7 @@ the same input: outputs must agree within the BASELINE parity bar.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 import torch
 
 from shape_based_object_detection_tpu import config
@@ -39,12 +40,20 @@ def _run_parity(flax_cfg, torch_model, image_size, atol=2e-4):
     return module, params, anchors
 
 
-def test_ssd_tiny_forward_parity():
+@pytest.fixture(scope="module")
+def ssd_setup():
+    """Build + convert + forward-parity-check the tiny SSD ONCE (compiles are
+    expensive on the 1-core CPU test host); both SSD tests consume it."""
     cfg = config.tiny_test_model("ssd")
     tm = TM.TorchSSD(image_size=300, num_classes=cfg.num_classes,
                      width_mult=cfg.width_mult,
                      aspect_ratios=cfg.anchors.aspect_ratios)
-    _run_parity(cfg, tm, 300)
+    module, params, anchors = _run_parity(cfg, tm, 300)
+    return cfg, tm, module, params, anchors
+
+
+def test_ssd_tiny_forward_parity(ssd_setup):
+    pass  # the fixture body IS the assertion
 
 
 def test_retinanet_tiny_forward_parity():
@@ -56,17 +65,13 @@ def test_retinanet_tiny_forward_parity():
     _run_parity(cfg, tm, cfg.image_size)
 
 
-def test_ssd_tiny_detect_parity():
+def test_ssd_tiny_detect_parity(ssd_setup):
     """End-to-end detect(): decode + softmax + class-aware NMS vs a torch
     sequential reference pipeline. Parity bar: box-IoU 0.99 / score 1e-3."""
     from shape_based_object_detection_tpu.detection import make_detect_fn
     from tests.golden import torch_ops as G
 
-    cfg = config.tiny_test_model("ssd")
-    tm = TM.TorchSSD(image_size=300, num_classes=cfg.num_classes,
-                     width_mult=cfg.width_mult,
-                     aspect_ratios=cfg.anchors.aspect_ratios)
-    module, params, anchors = _run_parity(cfg, tm, 300)
+    cfg, tm, module, params, anchors = ssd_setup
 
     rng = np.random.default_rng(7)
     img_u8 = rng.integers(0, 256, size=(1, 300, 300, 3), dtype=np.uint8)

@@ -6,7 +6,7 @@ import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
+import pytest
 
 from shape_based_object_detection_tpu import config as config_lib
 from shape_based_object_detection_tpu import train as train_lib
@@ -26,53 +26,14 @@ def test_mesh_shapes():
     assert mesh2.devices.shape == (4, 2)
 
 
-def test_data_parallel_train_step_on_mesh():
-    """Full train step sharded over 8 devices: grads all-reduce via XLA."""
+@pytest.fixture(scope="module")
+def dp_setup():
+    """One tiny model + ONE compiled train step shared by the DP tests."""
     model_cfg = config_lib.tiny_test_model("retinanet")
     cfg = config_lib.ExperimentConfig(
         model=model_cfg,
         data=dataclasses.replace(
             config_lib.DataConfig(batch_size=8, max_boxes=4),
-            photometric=False, expand=False, random_crop=False, hflip=False,
-        ),
-        train=dataclasses.replace(config_lib.TrainConfig(), weight_decay=0.0),
-        loss=config_lib.LossConfig(kind="focal"),
-    )
-    module, variables, anchors = build_model(model_cfg)
-    state = train_lib.create_train_state(module, variables, cfg)
-    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
-
-    mesh = make_mesh()
-    dshard = batch_sharding(mesh)
-    rshard = replicated_sharding(mesh)
-    state = jax.device_put(state, rshard)
-
-    b, g, s = 8, 4, model_cfg.image_size
-    rng = np.random.default_rng(0)
-    batch = {
-        "images": jax.device_put(
-            rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8), dshard),
-        "boxes": jax.device_put(
-            np.tile(np.asarray([0.2, 0.2, 0.6, 0.6], np.float32), (b, g, 1)),
-            dshard),
-        "labels": jax.device_put(np.ones((b, g), np.int32), dshard),
-        "valid": jax.device_put(
-            np.tile(np.asarray([True] + [False] * (g - 1)), (b, 1)), dshard),
-    }
-    new_state, metrics = step_fn(state, batch)
-    assert np.isfinite(float(metrics["loss"]))
-    # params must stay replicated after the update
-    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
-    assert leaf.sharding.is_fully_replicated
-
-
-def test_sharded_equals_single_device():
-    """DP-sharded step == unsharded step (same data, same result)."""
-    model_cfg = config_lib.tiny_test_model("retinanet")
-    cfg = config_lib.ExperimentConfig(
-        model=model_cfg,
-        data=dataclasses.replace(
-            config_lib.DataConfig(batch_size=4, max_boxes=2),
             photometric=False, expand=False, random_crop=False, hflip=False,
         ),
         train=dataclasses.replace(config_lib.TrainConfig(), weight_decay=0.0,
@@ -81,20 +42,46 @@ def test_sharded_equals_single_device():
     )
     module, variables, anchors = build_model(model_cfg)
     step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
+    return cfg, module, variables, anchors, step_fn
 
-    b, g, s = 4, 2, model_cfg.image_size
-    rng = np.random.default_rng(1)
-    batch = {
+
+def _batch(cfg, b):
+    g, s = cfg.data.max_boxes, cfg.model.image_size
+    rng = np.random.default_rng(0)
+    return {
         "images": rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8),
         "boxes": np.tile(np.asarray([0.2, 0.2, 0.6, 0.6], np.float32), (b, g, 1)),
         "labels": np.ones((b, g), np.int32),
-        "valid": np.ones((b, g), bool),
+        "valid": np.tile(np.asarray([True] + [False] * (g - 1)), (b, 1)),
     }
+
+
+def test_data_parallel_train_step_on_mesh(dp_setup):
+    """Full train step sharded over 8 devices: grads all-reduce via XLA."""
+    cfg, module, variables, anchors, step_fn = dp_setup
+    state = train_lib.create_train_state(module, variables, cfg)
+
+    mesh = make_mesh()
+    dshard = batch_sharding(mesh)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch = {k: jax.device_put(v, dshard) for k, v in _batch(cfg, 8).items()}
+
+    new_state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # params must stay replicated after the update
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_equals_single_device(dp_setup):
+    """DP-sharded step == unsharded step (same data, same result)."""
+    cfg, module, variables, anchors, step_fn = dp_setup
+    batch = _batch(cfg, 8)
 
     state1 = train_lib.create_train_state(module, variables, cfg)
     _, m1 = step_fn(state1, jax.tree_util.tree_map(jnp.asarray, batch))
 
-    mesh = make_mesh(jax.devices()[:4])
+    mesh = make_mesh()
     dshard = batch_sharding(mesh)
     state2 = jax.device_put(
         train_lib.create_train_state(module, variables, cfg),

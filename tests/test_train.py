@@ -30,7 +30,9 @@ def tiny_setup():
         loss=config_lib.LossConfig(kind="focal"),
     )
     module, variables, anchors = build_model(model_cfg)
-    return cfg, module, variables, anchors
+    # one shared compiled step (augment=False) for every test in this module
+    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
+    return cfg, module, variables, anchors, step_fn
 
 
 def _fake_batch(cfg, seed=0):
@@ -48,9 +50,8 @@ def _fake_batch(cfg, seed=0):
 
 
 def test_train_step_runs_and_updates(tiny_setup):
-    cfg, module, variables, anchors = tiny_setup
+    cfg, module, variables, anchors, step_fn = tiny_setup
     state = train_lib.create_train_state(module, variables, cfg)
-    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
     batch = _fake_batch(cfg)
     p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
     state, metrics = step_fn(state, batch)
@@ -66,9 +67,8 @@ def test_train_step_runs_and_updates(tiny_setup):
 def test_overfit_synthetic(tiny_setup):
     """Loss on a fixed batch must drop substantially — the end-to-end
     gradient-correctness oracle."""
-    cfg, module, variables, anchors = tiny_setup
+    cfg, module, variables, anchors, step_fn = tiny_setup
     state = train_lib.create_train_state(module, variables, cfg)
-    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
     batch = _fake_batch(cfg)
     losses = []
     for _ in range(40):
@@ -79,7 +79,7 @@ def test_overfit_synthetic(tiny_setup):
 
 
 def test_train_step_with_augmentation(tiny_setup):
-    cfg, module, variables, anchors = tiny_setup
+    cfg, module, variables, anchors, _ = tiny_setup
     aug_cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, photometric=True, expand=True,
                                       random_crop=True, hflip=True))
@@ -104,7 +104,7 @@ def test_lr_schedule():
 def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     from shape_based_object_detection_tpu.checkpoint import CheckpointManager
 
-    cfg, module, variables, anchors = tiny_setup
+    cfg, module, variables, anchors, _ = tiny_setup
     state = train_lib.create_train_state(module, variables, cfg)
     mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2, async_save=False)
     mgr.save(state, step=3)
@@ -121,7 +121,7 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
 
 
 def test_eval_step(tiny_setup):
-    cfg, module, variables, anchors = tiny_setup
+    cfg, module, variables, anchors, _ = tiny_setup
     state = train_lib.create_train_state(module, variables, cfg)
     eval_fn = train_lib.make_eval_step(module, anchors, cfg)
     batch = _fake_batch(cfg)
