@@ -34,8 +34,9 @@ def main(argv=None):
     from shape_based_object_detection_tpu.checkpoint import CheckpointManager
     from shape_based_object_detection_tpu.data.pipeline import Loader
     from shape_based_object_detection_tpu.parallel import (
-        make_mesh, batch_sharding, initialize_multihost,
+        batch_sharding, initialize_multihost,
     )
+    from shape_based_object_detection_tpu.parallel.mesh import make_mesh_for_batch
     from shape_based_object_detection_tpu.utils.metrics import MetricsLogger
 
     p = argparse.ArgumentParser()
@@ -71,7 +72,8 @@ def main(argv=None):
     state = train_lib.create_train_state(module, variables, cfg)
     train_step = train_lib.make_train_step(module, anchors, cfg)
 
-    mesh = make_mesh(cfg=cfg.mesh)
+    per_host_batch = cfg.data.batch_size // max(1, jax.process_count())
+    mesh = make_mesh_for_batch(per_host_batch, cfg=cfg.mesh)
     data_shard = batch_sharding(mesh, cfg.mesh)
 
     ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)

@@ -103,19 +103,26 @@ class Loader:
         """Background-thread prefetch: host prep overlaps device compute."""
         q: queue_lib.Queue = queue_lib.Queue(maxsize=self.prefetch)
         stop = object()
+        error: list = []
 
         def producer():
-            for batch in self.batches(epoch):
-                arrays = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, sharding), batch
-                )
-                q.put(arrays)
-            q.put(stop)
+            try:
+                for batch in self.batches(epoch):
+                    arrays = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, sharding), batch
+                    )
+                    q.put(arrays)
+            except BaseException as e:  # surface in the consumer, never hang
+                error.append(e)
+            finally:
+                q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is stop:
+                if error:
+                    raise error[0]
                 break
             yield item

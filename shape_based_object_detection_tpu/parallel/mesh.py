@@ -38,6 +38,22 @@ def make_mesh(
     return Mesh(arr, (cfg.data_axis, cfg.model_axis))
 
 
+def make_mesh_for_batch(
+    batch_size: int,
+    devices: Optional[Sequence] = None,
+    cfg: MeshConfig = MeshConfig(),
+) -> Mesh:
+    """Mesh whose data axis divides ``batch_size`` (a per-host batch smaller
+    than the device count otherwise cannot be laid out)."""
+    if devices is None:
+        devices = jax.devices()
+    mp = max(1, cfg.model_parallelism)
+    n_data = len(devices) // mp
+    while n_data > 1 and batch_size % n_data != 0:
+        n_data -= 1
+    return make_mesh(list(devices)[: n_data * mp], cfg)
+
+
 def batch_sharding(mesh: Mesh, cfg: MeshConfig = MeshConfig()) -> NamedSharding:
     """Leading batch dim sharded over the data axis."""
     return NamedSharding(mesh, P(cfg.data_axis))
