@@ -1,0 +1,69 @@
+"""Training-throughput benchmark (secondary; the driver headline is bench.py).
+
+Measures the full donated train_step — on-device augmentation -> forward ->
+matching -> loss -> grad -> SGD update — for RetinaNet R50-FPN at 512px in
+bfloat16 on the available chip. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+BATCH = 16
+SIZE = 512
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu import train as train_lib
+    from shape_based_object_detection_tpu.models.factory import build_model
+
+    cfg = config_lib.get_config("config4_retinanet_r101_coco_train")
+    model_cfg = dataclasses.replace(
+        config_lib.RETINANET_R50_512, dtype="bfloat16")
+    cfg = dataclasses.replace(
+        cfg,
+        model=model_cfg,
+        data=dataclasses.replace(cfg.data, batch_size=BATCH, max_boxes=64),
+    )
+    module, variables, anchors = build_model(model_cfg)
+    state = train_lib.create_train_state(module, variables, cfg)
+    step = train_lib.make_train_step(module, anchors, cfg, augment=True)
+
+    rng = np.random.default_rng(0)
+    g = cfg.data.max_boxes
+    batch = {
+        "images": jnp.asarray(
+            rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)),
+        "boxes": jnp.asarray(np.tile(
+            np.asarray([0.2, 0.2, 0.7, 0.7], np.float32), (BATCH, g, 1))),
+        "labels": jnp.asarray(rng.integers(1, 81, (BATCH, g)).astype(np.int32)),
+        "valid": jnp.asarray(
+            np.tile(np.asarray([True] * 8 + [False] * (g - 8)), (BATCH, 1))),
+    }
+
+    state, metrics = step(state, dict(batch))  # compile
+    jax.block_until_ready(metrics)
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, dict(batch))
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "retinanet_r50_fpn_512px_train_images_per_sec_per_chip",
+        "value": round(BATCH / dt, 2),
+        "unit": "images/sec",
+        "loss": round(float(np.asarray(metrics["loss"])), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

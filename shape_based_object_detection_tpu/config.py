@@ -75,6 +75,9 @@ class DetectConfig:
     pre_nms_top_k: int = 1000  # per image, across all classes
     max_detections: int = 200  # final top-k per image
     use_sigmoid: bool = False  # focal models score with sigmoid, SSD with softmax
+    # TPU-optimized approximate top-k for candidate selection (recall ~0.95,
+    # ~6x faster than exact at COCO scale). Exact mode for torch parity.
+    approx_topk: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,6 +130,9 @@ class TrainConfig:
     lr_decay_steps: Tuple[int, ...] = (80_000, 100_000)
     lr_decay_factor: float = 0.1
     grad_clip_norm: float = 10.0
+    # rematerialize the forward in backward (jax.checkpoint): trades FLOPs for
+    # HBM — enables 1024px large-batch training (config #5)
+    remat: bool = False
     checkpoint_every: int = 1000
     checkpoint_dir: str = "/tmp/sbd_ckpt"
     keep_checkpoints: int = 3
@@ -299,7 +305,8 @@ def _preset_5() -> ExperimentConfig:
                           allow_low_quality=True),
         loss=LossConfig(kind="focal"),
         train=TrainConfig(base_lr=0.04, total_steps=45_000,
-                          lr_decay_steps=(30_000, 40_000), num_data_hosts=4),
+                          lr_decay_steps=(30_000, 40_000), num_data_hosts=4,
+                          remat=True),
     )
 
 
@@ -345,9 +352,11 @@ def tiny_test_model(family: str = "ssd") -> ModelConfig:
         return dataclasses.replace(
             SSD300, name="ssd300_tiny", width_mult=0.125, num_classes=4,
             precision="highest",
+            detect=dataclasses.replace(SSD300.detect, approx_topk=False),
         )
     return dataclasses.replace(
         RETINANET_R50_512, name="retinanet_tiny", width_mult=0.125,
         image_size=128, fpn_channels=32, head_depth=1, num_classes=4,
         precision="highest",
+        detect=dataclasses.replace(RETINANET_R50_512.detect, approx_topk=False),
     )

@@ -40,9 +40,13 @@ def postprocess(
     numerically identical (tested)."""
     det = cfg.detect
     if det.use_sigmoid:
-        scores = jax.nn.sigmoid(cls_logits)  # (B, A, C)
+        # sigmoid is monotonic: select on raw logits, activate only the
+        # K winners (skips a full (B, A, C) elementwise pass)
+        sel_scores, activation = cls_logits, jax.nn.sigmoid
     else:
-        scores = jax.nn.softmax(cls_logits, axis=-1)[..., 1:]  # drop background
+        # softmax couples classes per anchor: activate before selection
+        sel_scores = jax.nn.softmax(cls_logits, axis=-1)[..., 1:]
+        activation = None
 
     decoded = box_ops.decode_boxes(box_offsets, anchors_cxcywh,
                                    cfg.anchors.variances)
@@ -53,9 +57,12 @@ def postprocess(
             nms_lib.select_top_candidates,
             score_threshold=det.score_threshold,
             top_k=det.pre_nms_top_k,
+            approx=det.approx_topk,
+            activation=activation,
         )
     )
-    cand_boxes, cand_scores, cand_classes, cand_valid = select(boxes_xyxy, scores)
+    cand_boxes, cand_scores, cand_classes, cand_valid = select(
+        boxes_xyxy, sel_scores)
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     if use_pallas:

@@ -146,9 +146,11 @@ def batched_class_aware_nms(
 
 def select_top_candidates(
     boxes_xyxy: jnp.ndarray,  # (A, 4) decoded boxes (shared across classes)
-    class_scores: jnp.ndarray,  # (A, C) per-class scores (post sigmoid/softmax)
+    class_scores: jnp.ndarray,  # (A, C) per-class selection scores
     score_threshold: float,
     top_k: int,
+    approx: bool = False,
+    activation=None,
 ):
     """Flatten (anchor, class) pairs and keep the top-k by score.
 
@@ -156,11 +158,21 @@ def select_top_candidates(
     in [0, C). Below-threshold pairs are masked invalid (but still occupy
     slots if fewer than K pass — callers rely on the valid mask, giving exact
     per-class score-threshold semantics with static shapes).
+
+    ``approx`` uses ``lax.approx_max_k`` (the TPU-native top-k, ~6x faster at
+    COCO scale, recall ~0.95). ``activation`` (e.g. sigmoid) is applied to the
+    K selected scores only — pass raw logits as ``class_scores`` when the
+    activation is monotonic and save an (A, C) elementwise pass.
     """
     a, c = class_scores.shape
     flat = class_scores.reshape(-1)  # (A*C,) anchor-major
     k = min(top_k, a * c)
-    top_scores, top_idx = jax.lax.top_k(flat, k)
+    if approx:
+        top_scores, top_idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
+    else:
+        top_scores, top_idx = jax.lax.top_k(flat, k)
+    if activation is not None:
+        top_scores = activation(top_scores)
     anchor_idx = top_idx // c
     class_idx = (top_idx % c).astype(jnp.int32)
     return (

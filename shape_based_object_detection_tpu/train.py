@@ -92,9 +92,15 @@ def make_train_step(
     tx = make_optimizer(cfg.train)
     variances = cfg.model.anchors.variances
 
+    apply_fn = module.apply
+    if cfg.train.remat:
+        # recompute activations in the backward pass instead of keeping them
+        # in HBM — the large-resolution (config #5) memory lever
+        apply_fn = jax.checkpoint(apply_fn)
+
     def loss_fn(params, extra_vars, images, boxes, labels, valid):
         x = images
-        cls_logits, box_offsets = module.apply({"params": params, **extra_vars}, x)
+        cls_logits, box_offsets = apply_fn({"params": params, **extra_vars}, x)
         match = match_batch(anchors, boxes, labels, valid, cfg.match, variances)
         loss, metrics = detection_loss(cls_logits, box_offsets, match, cfg.loss)
         return loss, metrics
