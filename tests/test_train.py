@@ -128,3 +128,38 @@ def test_eval_step(tiny_setup):
     det = eval_fn(state, jnp.asarray(batch["images"]))
     assert det.boxes.shape[0] == cfg.data.batch_size
     assert det.boxes.shape[1] == cfg.model.detect.max_detections
+
+
+def test_train_step_with_remat(tiny_setup):
+    """jax.checkpoint path (config #5 memory lever) must match no-remat loss."""
+    cfg, module, variables, anchors, step_fn = tiny_setup
+    remat_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat=True))
+    remat_step = train_lib.make_train_step(module, anchors, remat_cfg,
+                                           augment=False)
+    batch = _fake_batch(cfg)
+    s1 = train_lib.create_train_state(module, variables, cfg)
+    s2 = train_lib.create_train_state(module, variables, remat_cfg)
+    _, m1 = step_fn(s1, batch)
+    _, m2 = remat_step(s2, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)
+
+
+def test_train_step_bfloat16(tiny_setup):
+    """bf16 compute path trains: finite loss + finite grads."""
+    cfg, module, variables, anchors, _ = tiny_setup
+    bf16_model = dataclasses.replace(cfg.model, dtype="bfloat16",
+                                     precision="default")
+    bf16_cfg = dataclasses.replace(cfg, model=bf16_model)
+    module16, variables16, anchors16 = build_model(bf16_model)
+    state = train_lib.create_train_state(module16, variables16, bf16_cfg)
+    step = train_lib.make_train_step(module16, anchors16, bf16_cfg,
+                                     augment=False)
+    state, metrics = step(state, _fake_batch(bf16_cfg))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    # params stay fp32 (mixed precision: bf16 compute, fp32 master weights)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
