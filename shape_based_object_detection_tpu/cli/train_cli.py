@@ -48,6 +48,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run VOC-mAP eval on the train stream every N steps")
     p.add_argument("--num-processes", type=int, default=0)
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--coordinator", default="")
@@ -89,6 +91,19 @@ def main(argv=None):
         host_id=jax.process_index(), num_hosts=jax.process_count(),
     )
     logger = MetricsLogger(log_every=args.log_every)
+    eval_step = (train_lib.make_eval_step(module, anchors, cfg)
+                 if args.eval_every else None)
+
+    def run_eval(state):
+        from shape_based_object_detection_tpu.eval import Evaluator
+
+        ev = Evaluator()
+        for i, b in enumerate(loader.batches()):
+            det = eval_step(state, b.images)
+            ev.add_batch(det, b.boxes, b.labels - 1, b.valid)
+            if i >= 4:  # a few batches: progress signal, not a full eval
+                break
+        return ev.voc()["mAP"]
 
     step = int(state.step)
     epoch = 0
@@ -101,6 +116,9 @@ def main(argv=None):
                 print(line, flush=True)
             if step % cfg.train.checkpoint_every == 0:
                 ckpt.save(state, step)
+            if eval_step is not None and step % args.eval_every == 0:
+                print(f"step {step}  voc-mAP(train-sample)={run_eval(state):.4f}",
+                      flush=True)
             if step >= cfg.train.total_steps:
                 break
         epoch += 1

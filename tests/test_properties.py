@@ -1,0 +1,63 @@
+"""Hypothesis property tests over the geometry core (SURVEY.md §4 item 2)."""
+
+import numpy as np
+import jax.numpy as jnp
+from hypothesis import given, settings, strategies as st
+import hypothesis.extra.numpy as hnp
+
+from shape_based_object_detection_tpu.ops import boxes as B
+from shape_based_object_detection_tpu.ops import nms as N
+
+_SETTINGS = dict(max_examples=25, deadline=None)
+
+
+def _boxes_strategy(n):
+    cxcy = hnp.arrays(np.float64, (n, 2), elements=st.floats(0.1, 0.9))
+    wh = hnp.arrays(np.float64, (n, 2), elements=st.floats(0.02, 0.5))
+    return st.tuples(cxcy, wh).map(
+        lambda t: np.concatenate(
+            [t[0] - t[1] / 2, t[0] + t[1] / 2], axis=1).astype(np.float32))
+
+
+@settings(**_SETTINGS)
+@given(_boxes_strategy(8))
+def test_iou_symmetric_and_bounded(boxes):
+    m = np.asarray(B.iou_matrix(jnp.asarray(boxes), jnp.asarray(boxes)))
+    np.testing.assert_allclose(m, m.T, atol=1e-6)
+    assert (m >= -1e-6).all() and (m <= 1 + 1e-6).all()
+    np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-5)
+
+
+@settings(**_SETTINGS)
+@given(_boxes_strategy(6), _boxes_strategy(6))
+def test_encode_decode_inverse(gt, anchors):
+    gt_c = B.xyxy_to_cxcywh(jnp.asarray(gt))
+    an_c = B.xyxy_to_cxcywh(jnp.asarray(anchors))
+    rec = B.decode_boxes(B.encode_boxes(gt_c, an_c), an_c)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(gt_c),
+                               rtol=1e-3, atol=1e-4)
+
+
+@settings(**_SETTINGS)
+@given(_boxes_strategy(10),
+       hnp.arrays(np.float64, (10,), elements=st.floats(0.01, 1.0)))
+def test_nms_keeps_top_scorer_and_no_overlaps(boxes, scores):
+    keep = np.asarray(N.nms_mask(jnp.asarray(boxes),
+                                 jnp.asarray(scores.astype(np.float32)), 0.5))
+    # the global top scorer always survives
+    assert keep[np.argmax(scores)]
+    # no two kept boxes overlap >= threshold
+    kept = boxes[keep]
+    if len(kept) > 1:
+        ious = np.array(B.iou_matrix(jnp.asarray(kept), jnp.asarray(kept)))
+        np.fill_diagonal(ious, 0.0)
+        assert (ious < 0.5).all()
+
+
+@settings(**_SETTINGS)
+@given(_boxes_strategy(6))
+def test_shape_similarity_range_and_self(boxes):
+    c = B.xyxy_to_cxcywh(jnp.asarray(boxes))
+    sim = np.asarray(B.shape_similarity(c, c))
+    assert (sim > 0).all() and (sim <= 1 + 1e-6).all()
+    np.testing.assert_allclose(np.diag(sim), 1.0, atol=1e-5)
