@@ -85,14 +85,29 @@ def main() -> None:
         rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)
     )
 
+    # Timing methodology: on the tunneled TPU runtime block_until_ready can
+    # return before execution and independent calls pipeline, so each
+    # iteration data-depends on the previous one and the clock stops on a
+    # scalar readback; a bare-readback RTT is subtracted.
     out = detect(variables, images)  # compile + warmup
-    jax.block_until_ready(out)
+    _ = float(out.scores[0, 0])
+    # warm the dependent-iteration path too (the images+dep add is its own
+    # executable; remote compiles inside the timed region would dominate)
+    dep = (out.labels[0, 0] * 0).astype(images.dtype)
+    out = detect(variables, images + dep)
+    _ = float(out.scores[0, 0])
+
     n = 20
     t0 = time.perf_counter()
     for _ in range(n):
-        out = detect(variables, images)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
+        dep = (out.labels[0, 0] * 0).astype(images.dtype)  # serialize iters
+        out = detect(variables, images + dep)
+    _ = float(out.scores[0, 0])
+    t1 = time.perf_counter()
+    r0 = time.perf_counter()
+    _ = float(out.scores[0, 1])  # already materialized -> pure RTT
+    rtt = time.perf_counter() - r0
+    dt = (t1 - t0 - rtt) / n
     ips = BATCH / dt
 
     print(json.dumps({
