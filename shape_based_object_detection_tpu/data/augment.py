@@ -60,9 +60,14 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     x = c * (1.0 - jnp.abs(h6 % 2.0 - 1.0))
     m = v - c
     i = jnp.floor(h6).astype(jnp.int32) % 6
-    r = jnp.choose(i, [c, x, jnp.zeros_like(c), jnp.zeros_like(c), x, c], mode="clip")
-    g = jnp.choose(i, [x, c, c, x, jnp.zeros_like(c), jnp.zeros_like(c)], mode="clip")
-    b = jnp.choose(i, [jnp.zeros_like(c), jnp.zeros_like(c), x, c, c, x], mode="clip")
+    # sector table (r,g,b): 0:(c,x,0) 1:(x,c,0) 2:(0,c,x) 3:(0,x,c) 4:(x,0,c)
+    # 5:(c,0,x) — expressed as masked selects (jnp.choose lowers to a slow
+    # gather; this is pure VPU)
+    zero = jnp.zeros_like(c)
+    in_ = lambda *ks: jnp.logical_or(i == ks[0], i == ks[1])
+    r = jnp.where(in_(0, 5), c, jnp.where(in_(1, 4), x, zero))
+    g = jnp.where(in_(1, 2), c, jnp.where(in_(0, 3), x, zero))
+    b = jnp.where(in_(3, 4), c, jnp.where(in_(2, 5), x, zero))
     return jnp.stack([r + m, g + m, b + m], axis=-1)
 
 
