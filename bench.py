@@ -119,4 +119,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # the tunneled TPU worker occasionally crashes/restarts
+        import traceback
+
+        traceback.print_exc()
+        time.sleep(10)
+        main()

@@ -83,7 +83,8 @@ def postprocess(
 
 
 def make_detect_fn(module, anchors_cxcywh: jnp.ndarray, cfg: ModelConfig,
-                   data_cfg: DataConfig | None = None):
+                   data_cfg: DataConfig | None = None,
+                   use_pallas: bool | None = None):
     """Returns jitted detect(params, images) -> Detections.
 
     ``images``: (B, H, W, 3) uint8 (raw) or float (pre-normalized if
@@ -98,7 +99,8 @@ def make_detect_fn(module, anchors_cxcywh: jnp.ndarray, cfg: ModelConfig,
     def detect(params, images):
         x = image_lib.normalize_images(images, mean, std)
         cls_logits, box_offsets = module.apply(params, x)
-        return postprocess(cls_logits, box_offsets, anchors_cxcywh, cfg)
+        return postprocess(cls_logits, box_offsets, anchors_cxcywh, cfg,
+                           use_pallas=use_pallas)
 
     return detect
 
