@@ -78,6 +78,9 @@ class DetectConfig:
     # TPU-optimized approximate top-k for candidate selection (recall ~0.95,
     # ~6x faster than exact at COCO scale). Exact mode for torch parity.
     approx_topk: bool = True
+    # NMS backend: "auto" (Pallas on TPU, scan elsewhere), "pallas", "scan",
+    # or "matrix" (round-based MXU formulation). All bit-identical (tested).
+    nms_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

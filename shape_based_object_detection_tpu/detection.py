@@ -63,23 +63,29 @@ def postprocess(
     )
     cand_boxes, cand_scores, cand_classes, cand_valid = select(
         boxes_xyxy, sel_scores)
-    if use_pallas is None:
-        use_pallas = _use_pallas_default()
-    if use_pallas:
+
+    backend = det.nms_backend
+    if use_pallas is not None:  # explicit override (tests, legacy arg)
+        backend = "pallas" if use_pallas else "scan"
+    if backend == "auto":
+        backend = "pallas" if _use_pallas_default() else "scan"
+
+    args = (cand_boxes, cand_scores, cand_classes, cand_valid)
+    kwargs = dict(iou_threshold=det.nms_iou_threshold,
+                  max_detections=det.max_detections)
+    if backend == "pallas":
         from shape_based_object_detection_tpu.ops.nms_pallas import (
             batched_class_aware_nms_pallas,
         )
 
-        return batched_class_aware_nms_pallas(
-            cand_boxes, cand_scores, cand_classes, cand_valid,
-            iou_threshold=det.nms_iou_threshold,
-            max_detections=det.max_detections,
+        return batched_class_aware_nms_pallas(*args, **kwargs)
+    if backend == "matrix":
+        from shape_based_object_detection_tpu.ops.nms_matrix import (
+            batched_class_aware_nms_matrix,
         )
-    return nms_lib.batched_class_aware_nms(
-        cand_boxes, cand_scores, cand_classes, cand_valid,
-        iou_threshold=det.nms_iou_threshold,
-        max_detections=det.max_detections,
-    )
+
+        return batched_class_aware_nms_matrix(*args, **kwargs)
+    return nms_lib.batched_class_aware_nms(*args, **kwargs)
 
 
 def make_detect_fn(module, anchors_cxcywh: jnp.ndarray, cfg: ModelConfig,

@@ -24,6 +24,9 @@ from shape_based_object_detection_tpu.ops.nms import (
     nms_mask,
     batched_class_aware_nms,
 )
+from shape_based_object_detection_tpu.ops.nms_matrix import (
+    batched_class_aware_nms_matrix,
+)
 from shape_based_object_detection_tpu.ops.matching import match_anchors
 
 __all__ = [

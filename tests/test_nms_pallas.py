@@ -59,3 +59,33 @@ def test_pallas_class_aware_matches_reference(rng):
                                np.asarray(det_r.boxes)[m], atol=1e-6)
     np.testing.assert_array_equal(np.asarray(det_p.labels)[m],
                                   np.asarray(det_r.labels)[m])
+
+
+def test_matrix_nms_matches_reference(rng):
+    """Round-based matrix NMS (third backend) == scan class-aware NMS."""
+    from shape_based_object_detection_tpu.ops.nms_matrix import (
+        batched_class_aware_nms_matrix,
+    )
+
+    b, n, k = 2, 64, 30
+    boxes, scores = _candidates(rng, b, n)
+    classes = rng.integers(0, 4, (b, n)).astype(np.int32)
+    valid = np.ones((b, n), bool)
+    valid[:, -7:] = False
+
+    det_m = batched_class_aware_nms_matrix(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.asarray(valid), 0.5, k,
+    )
+    det_r = N.batched_class_aware_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.asarray(valid), 0.5, k,
+    )
+    np.testing.assert_array_equal(np.asarray(det_m.valid), np.asarray(det_r.valid))
+    m = np.asarray(det_r.valid)
+    np.testing.assert_allclose(np.asarray(det_m.boxes)[m],
+                               np.asarray(det_r.boxes)[m], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(det_m.labels)[m],
+                                  np.asarray(det_r.labels)[m])
+    np.testing.assert_allclose(np.asarray(det_m.scores)[m],
+                               np.asarray(det_r.scores)[m], atol=1e-6)
