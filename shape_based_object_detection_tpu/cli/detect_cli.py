@@ -42,9 +42,11 @@ def main(argv=None):
     boxes, scores, labels = detect_single_image(
         detect, variables, img, cfg.model.image_size
     )
+    # detect() labels are 0-based foreground ids; report dataset 1-based ids
+    # (VOC_CLASSES / the COCO contiguous mapping) like the reference does
     results = [
         {"box": [round(float(v), 2) for v in b], "score": round(float(s), 4),
-         "label": int(l)}
+         "label": int(l) + 1}
         for b, s, l in zip(boxes, scores, labels)
         if s >= args.min_score
     ]

@@ -49,7 +49,8 @@ def main(argv=None):
     ev = Evaluator()
     for i, batch in enumerate(loader.batches()):
         det = detect(variables, jnp.asarray(batch.images))
-        ev.add_batch(det, batch.boxes, batch.labels, batch.valid)
+        # detect() labels are 0-based foreground ids; GT labels are 1-based
+        ev.add_batch(det, batch.boxes, batch.labels - 1, batch.valid)
         if args.max_batches and i + 1 >= args.max_batches:
             break
     metrics = ev.coco() if args.protocol == "coco" else ev.voc()
