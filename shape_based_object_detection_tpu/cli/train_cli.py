@@ -34,7 +34,7 @@ def main(argv=None):
     from shape_based_object_detection_tpu.checkpoint import CheckpointManager
     from shape_based_object_detection_tpu.data.pipeline import Loader
     from shape_based_object_detection_tpu.parallel import (
-        batch_sharding, initialize_multihost,
+        batch_sharding, initialize_multihost, replicated_sharding,
     )
     from shape_based_object_detection_tpu.parallel.mesh import make_mesh_for_batch
     from shape_based_object_detection_tpu.utils.metrics import MetricsLogger
@@ -83,6 +83,8 @@ def main(argv=None):
     if restored is not None:
         state = restored
         print(f"restored checkpoint at step {int(state.step)}")
+    # place state on the mesh (restored checkpoints land on one device)
+    state = jax.device_put(state, replicated_sharding(mesh))
 
     dataset = build_dataset(cfg, args)
     loader = Loader(

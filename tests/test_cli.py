@@ -45,3 +45,18 @@ def test_detect_cli_runs(tmp_path, capsys):
           "--min-score", "0.0"])
     out = capsys.readouterr().out
     json.loads(out)  # valid JSON detection list
+
+
+def test_train_cli_resumes_from_checkpoint(tmp_path, capsys):
+    """Crash-recovery contract (SURVEY.md §5): restart-from-latest."""
+    from shape_based_object_detection_tpu.cli.train_cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    main(["--config", "tiny_retinanet", "--steps", "2",
+          "--checkpoint-dir", ckpt, "--log-every", "100"])
+    capsys.readouterr()
+    main(["--config", "tiny_retinanet", "--steps", "4",
+          "--checkpoint-dir", ckpt, "--log-every", "100"])
+    out = capsys.readouterr().out
+    assert "restored checkpoint at step 2" in out
+    assert "done at step 4" in out
