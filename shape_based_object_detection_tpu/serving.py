@@ -15,13 +15,11 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from shape_based_object_detection_tpu.config import ExperimentConfig
 from shape_based_object_detection_tpu.detection import make_detect_fn
 from shape_based_object_detection_tpu.models.factory import build_model
-from shape_based_object_detection_tpu.ops import boxes as box_ops
 
 
 @dataclasses.dataclass
