@@ -51,7 +51,8 @@ class MatchConfig:
     shape_weight: float = 0.0
     shape_tau: float = 1.0
     force_match_for_each_gt: bool = True
-    allow_low_quality: bool = False  # RetinaNet uses ignore band 0.4-0.5
+    # torchvision-style alias for the same mechanism (either flag enables it)
+    allow_low_quality: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

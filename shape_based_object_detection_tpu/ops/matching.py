@@ -56,7 +56,10 @@ def match_anchors(
     best_q = jnp.max(quality, axis=1)  # (A,)
     best_g = jnp.argmax(quality, axis=1).astype(jnp.int32)  # (A,)
 
-    if cfg.force_match_for_each_gt:
+    # allow_low_quality (torchvision naming) and force_match_for_each_gt (SSD
+    # naming) are the same mechanism: every GT claims its best anchor even
+    # below the positive threshold.
+    if cfg.force_match_for_each_gt or cfg.allow_low_quality:
         # Each valid GT claims its single best anchor, overriding thresholds.
         # Later GTs win scatter conflicts (matches the family's sequential
         # per-GT loop semantics).
