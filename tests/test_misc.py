@@ -78,3 +78,33 @@ def test_compile_once_helper():
         (jnp.zeros((4, 4)),),
         (jnp.ones((4, 4)),),  # same shape -> same program
     )
+
+
+def test_torch_convert_roundtrip(rng):
+    """flax -> torch state_dict -> flax is the identity (converter inverse)."""
+    import torch
+
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu.models.factory import build_model
+    from shape_based_object_detection_tpu.utils.torch_convert import (
+        flax_params_to_torch_state_dict, torch_state_dict_to_flax,
+    )
+
+    cfg = config_lib.tiny_test_model("retinanet")
+    module, variables, _ = build_model(cfg)
+    sd = flax_params_to_torch_state_dict(variables)
+    assert any(k.endswith(".weight") for k in sd)
+    back = torch_state_dict_to_flax(
+        {k: torch.from_numpy(v.copy()) for k, v in sd.items()}, variables)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_benchmark_fn():
+    from shape_based_object_detection_tpu.utils.metrics import benchmark_fn
+
+    f = jax.jit(lambda x: x * 2)
+    out = benchmark_fn(f, jnp.ones((8, 8)), warmup=1, iters=3)
+    assert out["seconds_per_call"] > 0
+    assert out["calls_per_sec"] > 0
