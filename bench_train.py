@@ -21,6 +21,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from shape_based_object_detection_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from shape_based_object_detection_tpu import config as config_lib
     from shape_based_object_detection_tpu import train as train_lib
     from shape_based_object_detection_tpu.models.factory import build_model

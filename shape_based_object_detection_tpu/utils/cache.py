@@ -1,0 +1,40 @@
+"""Persistent XLA compilation cache (SURVEY.md §5 tracing/observability tier).
+
+TPU compiles of the full detection graphs take tens of seconds; the tunneled
+runtime makes cold compiles the dominant cost of short-lived processes
+(benchmarks, CLIs, serving restarts). Enabling JAX's persistent compilation
+cache makes every program after the first run load from disk in ~ms.
+
+Call ``enable_compilation_cache()`` before the first jitted execution. Safe to
+call multiple times; honors an explicit JAX_COMPILATION_CACHE_DIR env var.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache",
+)
+
+_enabled = False
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Turn on the on-disk XLA executable cache. Returns the directory used."""
+    global _enabled
+    import jax
+
+    path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
+    if _enabled:
+        return path
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Cache everything: entry-size / compile-time floors default to skipping
+    # small programs, but dispatch-heavy pipelines (prefetch, eval) re-pay
+    # those compiles on every process start otherwise.
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    _enabled = True
+    return path
