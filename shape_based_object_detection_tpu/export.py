@@ -1,0 +1,138 @@
+"""AOT model export: serialize detect() to a portable StableHLO artifact.
+
+The reference's deployment story is "load the torch checkpoint and run the
+Python model code" (SURVEY.md §3.2). The TPU-native equivalent is ahead-of-
+time export: ``jax.export`` lowers the whole jitted detect program (normalize
+-> backbone/heads -> decode -> class-aware NMS -> top-k) to versioned
+StableHLO with the weights embedded as constants, so a serving process can
+run the model with NO model-building Python, on any platform the artifact
+was exported for (TPU and/or CPU), with forward/backward-compatibility
+guarantees handled by StableHLO versioning.
+
+Artifact = a single ``bytes`` blob; by convention saved as ``*.sbdx``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shape_based_object_detection_tpu.config import ModelConfig, DataConfig
+from shape_based_object_detection_tpu.detection import make_detect_fn
+from shape_based_object_detection_tpu.ops.nms import Detections
+
+_MAGIC = b"SBDX0001"
+
+# The artifact's output pytree is the Detections namedtuple; teach
+# jax.export to serialize it (idempotent across re-imports).
+try:
+    jax.export.register_namedtuple_serialization(
+        Detections, serialized_name="sbd.Detections")
+except ValueError:
+    pass
+
+
+def export_detect(
+    module,
+    variables,
+    anchors_cxcywh: jnp.ndarray,
+    cfg: ModelConfig,
+    data_cfg: DataConfig | None = None,
+    batch_size: int = 8,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> bytes:
+    """Export detect() for a fixed batch shape with weights embedded.
+
+    Returns a self-describing blob: magic | header-json | jax.export payload.
+    The header records the input spec and config so a loader needs nothing
+    else. NMS uses the portable scan backend so one artifact runs on every
+    exported platform (the Pallas kernel is TPU-only and not exportable
+    across platforms).
+    """
+    detect = make_detect_fn(module, anchors_cxcywh, cfg, data_cfg,
+                            use_pallas=False)
+
+    def detect_images(images):  # weights closed over -> embedded as consts
+        return detect(variables, images)
+
+    size = cfg.image_size
+    spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8)
+    exported = jax.export.export(
+        jax.jit(detect_images), platforms=list(platforms))(spec)
+    header = json.dumps({
+        "model": cfg.name,
+        "image_size": size,
+        "batch_size": batch_size,
+        "platforms": list(platforms),
+        "num_classes": cfg.num_classes,
+        "outputs": ["boxes", "scores", "labels", "valid"],
+    }).encode()
+    buf = io.BytesIO()
+    buf.write(_MAGIC)
+    buf.write(len(header).to_bytes(8, "little"))
+    buf.write(header)
+    buf.write(exported.serialize())
+    return buf.getvalue()
+
+
+@dataclasses.dataclass
+class LoadedModel:
+    """A deserialized detect artifact: callable without any model code."""
+
+    header: dict
+    _call: Callable
+
+    def __call__(self, images) -> Detections:
+        """images: (batch_size, S, S, 3) uint8 -> Detections."""
+        out = self._call(jnp.asarray(images))
+        # jax.export flattens the output pytree to a tuple; rewrap.
+        if isinstance(out, Detections):
+            return out
+        return Detections(*out)
+
+
+def load_detect(blob: bytes) -> LoadedModel:
+    """Deserialize an ``export_detect`` artifact into a callable."""
+    if blob[:8] != _MAGIC:
+        raise ValueError("not an SBDX artifact (bad magic)")
+    hlen = int.from_bytes(blob[8:16], "little")
+    if len(blob) < 16 + hlen:
+        raise ValueError("truncated SBDX artifact")
+    header = json.loads(blob[16:16 + hlen].decode())
+    exported = jax.export.deserialize(blob[16 + hlen:])
+    return LoadedModel(header=header, _call=exported.call)
+
+
+def save_artifact(blob: bytes, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_artifact(path: str) -> LoadedModel:
+    with open(path, "rb") as f:
+        return load_detect(f.read())
+
+
+def export_from_config(
+    experiment_cfg,
+    variables=None,
+    batch_size: int = 8,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> bytes:
+    """Convenience: build the model from an ExperimentConfig and export.
+
+    ``variables=None`` exports fresh-initialized weights (artifact-format
+    tests); pass restored variables for a real deployment.
+    """
+    from shape_based_object_detection_tpu.models.factory import build_model
+
+    module, init_vars, anchors = build_model(experiment_cfg.model)
+    return export_detect(
+        module, variables if variables is not None else init_vars, anchors,
+        experiment_cfg.model, experiment_cfg.data, batch_size, platforms)

@@ -1,0 +1,56 @@
+"""Export a trained model to a standalone .sbdx serving artifact.
+
+    python tools/export_model.py --config config2_retinanet_r50_infer \
+        [--checkpoint-dir /ckpt] --batch-size 8 --platforms tpu,cpu \
+        --out retinanet_r50.sbdx
+
+The artifact embeds the weights and the whole detect() program (StableHLO);
+load it with shape_based_object_detection_tpu.export.load_artifact — no model
+code, config, or checkpoint needed at serving time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+REPO = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--platforms", default="tpu,cpu")
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu import export as export_lib
+    from shape_based_object_detection_tpu.models.factory import build_model
+
+    cfg = config_lib.get_config(args.config)
+    module, variables, anchors = build_model(cfg.model)
+    if args.checkpoint_dir:
+        from shape_based_object_detection_tpu import train as train_lib
+        from shape_based_object_detection_tpu.checkpoint import CheckpointManager
+
+        state = train_lib.create_train_state(module, variables, cfg)
+        restored = CheckpointManager(args.checkpoint_dir).restore_latest(state)
+        if restored is not None:
+            variables = {"params": restored.params, **restored.extra_vars}
+
+    blob = export_lib.export_detect(
+        module, variables, anchors, cfg.model, cfg.data,
+        batch_size=args.batch_size,
+        platforms=tuple(args.platforms.split(",")),
+    )
+    export_lib.save_artifact(blob, args.out)
+    print(f"wrote {args.out}: {len(blob) / 1e6:.1f} MB, "
+          f"platforms={args.platforms}, batch={args.batch_size}")
+
+
+if __name__ == "__main__":
+    main()
