@@ -33,14 +33,25 @@ class Predictor:
     """detect() as a service: fixed batch, padded, async-dispatch friendly."""
 
     def __init__(self, cfg: ExperimentConfig, variables=None, batch_size: int = 8,
-                 min_score: float = 0.0):
+                 min_score: float = 0.0, quantize: bool = False):
         self.cfg = cfg
         self.batch_size = batch_size
         self.min_score = min_score
         self.size = cfg.model.image_size
         module, init_vars, anchors = build_model(cfg.model)
         self.variables = variables if variables is not None else init_vars
-        self._detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
+        if quantize:
+            # int8 weight-only serving path (quantize.py): ~4x smaller
+            # HBM-resident weights, dequantized on-chip inside the program.
+            from shape_based_object_detection_tpu.quantize import (
+                make_quantized_detect_fn, quantize_params,
+            )
+
+            self.variables = quantize_params(self.variables)
+            self._detect = make_quantized_detect_fn(
+                module, anchors, cfg.model, cfg.data)
+        else:
+            self._detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
         self._pending: Optional[Tuple] = None
 
     def _prepare(self, images: Sequence[np.ndarray]) -> Tuple[jnp.ndarray, list]:

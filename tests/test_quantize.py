@@ -1,0 +1,119 @@
+"""int8 weight-only quantization (quantize.py): numerics, structure, and the
+quantized serving/export surfaces."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shape_based_object_detection_tpu import config as config_lib
+from shape_based_object_detection_tpu import quantize as q_lib
+from shape_based_object_detection_tpu.detection import make_detect_fn
+from shape_based_object_detection_tpu.models.factory import build_model
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return config_lib.get_config("tiny_retinanet")
+
+
+@pytest.fixture(scope="module")
+def built(tiny_cfg):
+    return build_model(tiny_cfg.model)
+
+
+def test_tensor_roundtrip_error_bound(rng):
+    w = jnp.asarray(rng.normal(size=(3, 3, 16, 32)).astype(np.float32))
+    qt = q_lib.quantize_tensor(w)
+    assert qt.q.dtype == jnp.int8 and qt.q.shape == w.shape
+    assert qt.scale.shape == (1, 1, 1, 32)
+    # symmetric rounding: error <= scale/2 per output channel
+    err = jnp.abs(qt.dequantize() - w)
+    assert bool(jnp.all(err <= qt.scale / 2 + 1e-8))
+
+
+def test_tensor_zero_channel_is_safe():
+    w = jnp.zeros((4, 4, 8, 8), jnp.float32)
+    qt = q_lib.quantize_tensor(w)
+    out = qt.dequantize()
+    assert bool(jnp.all(out == 0.0)) and bool(jnp.all(jnp.isfinite(qt.scale)))
+
+
+def test_params_structure_only_large_kernels(built):
+    _, variables, _ = built
+    qvars = q_lib.quantize_params(variables, min_size=1024)
+
+    def walk(path, leaf):
+        name = getattr(path[-1], "key", None)
+        if isinstance(leaf, q_lib.QTensor):
+            assert name == "kernel" and leaf.q.size >= 1024
+        elif name == "kernel":
+            assert leaf.ndim < 2 or leaf.size < 1024
+        return leaf
+
+    jax.tree_util.tree_map_with_path(walk, qvars,
+                                     is_leaf=lambda x: isinstance(
+                                         x, q_lib.QTensor))
+    n_q = sum(isinstance(x, q_lib.QTensor)
+              for x in jax.tree_util.tree_leaves(
+                  qvars, is_leaf=lambda x: isinstance(x, q_lib.QTensor)))
+    assert n_q > 10  # most conv kernels in the tiny model qualify
+
+    # footprint: quantized storage well under half the f32 storage
+    f32_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(variables))
+    assert q_lib.quantized_bytes(qvars) < 0.5 * f32_bytes
+
+
+def test_quantized_forward_close_to_f32(built, tiny_cfg, rng):
+    module, variables, _ = built
+    qvars = q_lib.quantize_params(variables)
+    size = tiny_cfg.model.image_size
+    x = jnp.asarray(rng.normal(size=(1, size, size, 3)).astype(np.float32))
+
+    cls_f, box_f = module.apply(variables, x)
+    cls_q, box_q = module.apply(q_lib.dequantize_params(qvars), x)
+    # int8 per-channel weight error is ~0.4% of channel amax; through a tiny
+    # net the logit drift stays small
+    assert float(jnp.max(jnp.abs(cls_q - cls_f))) < 0.2
+    assert float(jnp.mean(jnp.abs(cls_q - cls_f))) < 0.02
+    assert float(jnp.max(jnp.abs(box_q - box_f))) < 0.2
+
+
+def test_quantized_detect_runs(built, tiny_cfg, rng):
+    module, variables, anchors = built
+    qvars = q_lib.quantize_params(variables)
+    detect_q = q_lib.make_quantized_detect_fn(
+        module, anchors, tiny_cfg.model, tiny_cfg.data, use_pallas=False)
+    size = tiny_cfg.model.image_size
+    images = rng.integers(0, 255, (2, size, size, 3)).astype(np.uint8)
+    det = detect_q(qvars, jnp.asarray(images))
+    assert det.boxes.shape == (2, tiny_cfg.model.detect.max_detections, 4)
+    assert det.valid.dtype == jnp.bool_
+
+
+def test_quantized_export_smaller_and_runs(tiny_cfg, rng):
+    from shape_based_object_detection_tpu import export as export_lib
+
+    blob_f32 = export_lib.export_from_config(
+        tiny_cfg, batch_size=1, platforms=("cpu",))
+    blob_q = export_lib.export_from_config(
+        tiny_cfg, batch_size=1, platforms=("cpu",), quantize=True)
+    assert len(blob_q) < 0.5 * len(blob_f32)
+
+    loaded = export_lib.load_detect(blob_q)
+    assert loaded.header["quantized"] is True
+    size = loaded.header["image_size"]
+    det = loaded(rng.integers(0, 255, (1, size, size, 3)).astype(np.uint8))
+    assert det.boxes.shape[0] == 1
+
+
+def test_predictor_quantized(tiny_cfg, rng):
+    from shape_based_object_detection_tpu.serving import Predictor
+
+    pred = Predictor(tiny_cfg, batch_size=2, quantize=True)
+    imgs = [rng.integers(0, 255, (97, 133, 3)).astype(np.uint8)]
+    out = pred.predict(imgs)
+    assert len(out) == 1
+    assert out[0].boxes.shape[1] == 4

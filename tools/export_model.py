@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--platforms", default="tpu,cpu")
+    p.add_argument("--quantize", action="store_true",
+                   help="embed int8 weight-only quantized constants (~4x "
+                        "smaller artifact, dequantize fused on-chip)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
@@ -46,10 +49,12 @@ def main(argv=None):
         module, variables, anchors, cfg.model, cfg.data,
         batch_size=args.batch_size,
         platforms=tuple(args.platforms.split(",")),
+        quantize=args.quantize,
     )
     export_lib.save_artifact(blob, args.out)
     print(f"wrote {args.out}: {len(blob) / 1e6:.1f} MB, "
-          f"platforms={args.platforms}, batch={args.batch_size}")
+          f"platforms={args.platforms}, batch={args.batch_size}, "
+          f"quantized={args.quantize}")
 
 
 if __name__ == "__main__":
