@@ -48,6 +48,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--tb-dir", default="",
+                   help="write TensorBoard scalars (loss terms, lr, img/s)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="run VOC-mAP eval on the train stream every N steps")
     p.add_argument("--num-processes", type=int, default=0)
@@ -92,7 +94,8 @@ def main(argv=None):
         cfg.data.max_boxes, seed=cfg.train.seed,
         host_id=jax.process_index(), num_hosts=jax.process_count(),
     )
-    logger = MetricsLogger(log_every=args.log_every)
+    logger = MetricsLogger(log_every=args.log_every,
+                           tensorboard_dir=args.tb_dir or None)
     eval_step = (train_lib.make_eval_step(module, anchors, cfg)
                  if args.eval_every else None)
 

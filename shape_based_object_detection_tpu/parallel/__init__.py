@@ -4,5 +4,6 @@ from shape_based_object_detection_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
     replicated_sharding,
+    spatial_image_sharding,
     initialize_multihost,
 )

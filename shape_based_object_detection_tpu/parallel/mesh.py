@@ -63,6 +63,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_image_sharding(mesh: Mesh, cfg: MeshConfig = MeshConfig()
+                           ) -> NamedSharding:
+    """NHWC images: batch over 'data' AND image rows (H) over 'model'.
+
+    This is the large-resolution scaling lever (BASELINE config #5, 1024px):
+    sharding the spatial axis divides per-device activation memory by the
+    model-axis size. XLA's GSPMD spatial partitioning inserts the halo
+    exchanges the convolutions need automatically — same train_step program,
+    zero hand-written communication (the CNN analog of sequence parallelism;
+    there is no sequence axis in a detector, SURVEY.md §5).
+    """
+    return NamedSharding(mesh, P(cfg.data_axis, cfg.model_axis))
+
+
 def initialize_multihost(coordinator: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None) -> None:

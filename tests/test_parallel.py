@@ -94,6 +94,36 @@ def test_sharded_equals_single_device(dp_setup):
                                rtol=1e-4)
 
 
+def test_spatial_sharding_equals_single_device(dp_setup):
+    """Hybrid DP x spatial sharding (images' H rows over the 'model' axis):
+    GSPMD's automatic halo exchange through the conv stack must reproduce the
+    unsharded numerics. This is the config #5 large-resolution lever."""
+    from shape_based_object_detection_tpu.parallel import spatial_image_sharding
+
+    cfg, module, variables, anchors, step_fn = dp_setup
+    batch = _batch(cfg, 4)
+
+    state1 = train_lib.create_train_state(module, variables, cfg)
+    _, m1 = step_fn(state1, jax.tree_util.tree_map(jnp.asarray, batch))
+
+    mesh_cfg = config_lib.MeshConfig(model_parallelism=4)
+    mesh = make_mesh(cfg=mesh_cfg)  # (2 data, 4 model)
+    state2 = jax.device_put(
+        train_lib.create_train_state(module, variables, cfg),
+        replicated_sharding(mesh))
+    sshard = spatial_image_sharding(mesh, mesh_cfg)
+    dshard = batch_sharding(mesh, mesh_cfg)
+    sharded = dict(batch)
+    sharded["images"] = jax.device_put(batch["images"], sshard)
+    for k in ("boxes", "labels", "valid"):
+        sharded[k] = jax.device_put(batch[k], dshard)
+    _, m2 = step_fn(state2, sharded)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)
+
+
 def test_graft_entry_dryrun():
     """The driver's multichip dry-run must work on the virtual CPU mesh."""
     import sys, os

@@ -27,7 +27,8 @@ MODELS = {
 }
 
 
-def bench_one(model_key: str, batch: int, iters: int, windows: int) -> dict:
+def bench_one(model_key: str, batch: int, iters: int, windows: int,
+              quantize: bool = False) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
@@ -38,7 +39,15 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int) -> dict:
     cfg = config_lib.get_config(MODELS[model_key])
     model_cfg = dataclasses.replace(cfg.model, dtype="bfloat16")
     module, variables, anchors = build_model(model_cfg)
-    detect = make_detect_fn(module, anchors, model_cfg, cfg.data)
+    if quantize:
+        from shape_based_object_detection_tpu.quantize import (
+            make_quantized_detect_fn, quantize_params,
+        )
+
+        variables = quantize_params(variables)
+        detect = make_quantized_detect_fn(module, anchors, model_cfg, cfg.data)
+    else:
+        detect = make_detect_fn(module, anchors, model_cfg, cfg.data)
 
     size = model_cfg.image_size
     rng = np.random.default_rng(0)
@@ -65,13 +74,14 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int) -> dict:
         best_dt = min(best_dt, (t1 - t0 - rtt) / iters)
     return {
         "model": model_key, "image_size": size, "batch": batch,
+        "quantized": quantize,
         "ms_per_batch": round(best_dt * 1e3, 3),
         "images_per_sec_per_chip": round(batch / best_dt, 1),
     }
 
 
 def _run_cell_subprocess(model: str, batch: int, iters: int,
-                         windows: int) -> dict:
+                         windows: int, quantize: bool = False) -> dict:
     """One cell per child process: a TPU-worker crash (observed with the
     SSD-512 fused program) kills the client for the whole process, so cells
     must not share one. The worker itself restarts in ~2 min; retry once."""
@@ -79,6 +89,8 @@ def _run_cell_subprocess(model: str, batch: int, iters: int,
 
     cmd = [sys.executable, __file__, "--one", f"{model}:{batch}",
            "--iters", str(iters), "--windows", str(windows)]
+    if quantize:
+        cmd.append("--quantize")
     for attempt in range(2):
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
         for line in r.stdout.splitlines():
@@ -97,6 +109,8 @@ def main() -> None:
     ap.add_argument("--batches", default="1,8")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--quantize", action="store_true",
+                    help="bench the int8 weight-only quantized detect path")
     ap.add_argument("--one", default="",
                     help="internal: run a single 'model:batch' cell and exit")
     args = ap.parse_args()
@@ -109,14 +123,15 @@ def main() -> None:
 
     if args.one:
         m, b = args.one.rsplit(":", 1)
-        print(json.dumps(bench_one(m, int(b), args.iters, args.windows)),
-              flush=True)
+        print(json.dumps(bench_one(m, int(b), args.iters, args.windows,
+                                   quantize=args.quantize)), flush=True)
         return
 
     rows = []
     for m in args.models.split(","):
         for b in (int(x) for x in args.batches.split(",")):
-            row = _run_cell_subprocess(m.strip(), b, args.iters, args.windows)
+            row = _run_cell_subprocess(m.strip(), b, args.iters,
+                                       args.windows, quantize=args.quantize)
             print(json.dumps(row), flush=True)
             rows.append(row)
 
