@@ -92,7 +92,14 @@ def _run_cell_subprocess(model: str, batch: int, iters: int,
     if quantize:
         cmd.append("--quantize")
     for attempt in range(2):
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=1200)
+        except subprocess.TimeoutExpired:
+            print(f"# {model} b={batch} attempt {attempt}: timed out (hung "
+                  "tunnel?)", file=sys.stderr, flush=True)
+            time.sleep(150)
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 return json.loads(line)
