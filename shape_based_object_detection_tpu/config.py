@@ -134,6 +134,10 @@ class TrainConfig:
     lr_decay_steps: Tuple[int, ...] = (80_000, 100_000)
     lr_decay_factor: float = 0.1
     grad_clip_norm: float = 10.0
+    # exponential moving average of params (0 = off). Serving/eval from the
+    # EMA weights is the standard detection-training stabilizer; the decay
+    # applies per step: ema = d*ema + (1-d)*params.
+    ema_decay: float = 0.0
     # rematerialize the forward in backward (jax.checkpoint): trades FLOPs for
     # HBM — enables 1024px large-batch training (config #5)
     remat: bool = False

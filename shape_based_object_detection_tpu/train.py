@@ -31,6 +31,9 @@ class TrainState(struct.PyTreeNode):
     extra_vars: Any  # frozen collections (batch_stats etc.), not optimized
     opt_state: Any
     rng: jax.Array
+    # EMA of params (TrainConfig.ema_decay > 0), else None (empty subtree —
+    # checkpoints and shardings pass through unchanged when disabled)
+    ema_params: Any = None
 
 
 def make_lr_schedule(cfg) -> optax.Schedule:
@@ -69,12 +72,15 @@ def create_train_state(
     tx = make_optimizer(cfg.train)
     if rng is None:
         rng = jax.random.PRNGKey(cfg.train.seed)
+    ema = (jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+           if cfg.train.ema_decay > 0 else None)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         extra_vars=extra,
         opt_state=tx.init(params),
         rng=rng,
+        ema_params=ema,
     )
 
 
@@ -126,26 +132,35 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        d = cfg.train.ema_decay
+        ema = (jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p,
+                                      state.ema_params, params)
+               if d > 0 else state.ema_params)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng,
+            ema_params=ema,
         )
         return new_state, metrics
 
     return train_step
 
 
-def make_eval_step(module, anchors: jnp.ndarray, cfg: ExperimentConfig):
-    """Jitted forward + postprocess for validation (one program, no host loop)."""
+def make_eval_step(module, anchors: jnp.ndarray, cfg: ExperimentConfig,
+                   use_ema: bool = False):
+    """Jitted forward + postprocess for validation (one program, no host loop).
+
+    ``use_ema=True`` evaluates the EMA weights (requires ema_decay > 0)."""
     from shape_based_object_detection_tpu.detection import postprocess
     from shape_based_object_detection_tpu.utils.image import normalize_images
 
     @jax.jit
     def eval_step(state: TrainState, images):
+        params = state.ema_params if use_ema else state.params
         x = normalize_images(images, cfg.data.mean, cfg.data.std)
         cls_logits, box_offsets = module.apply(
-            {"params": state.params, **state.extra_vars}, x
+            {"params": params, **state.extra_vars}, x
         )
         return postprocess(cls_logits, box_offsets, anchors, cfg.model)
 
