@@ -232,9 +232,14 @@ SSD512 = ModelConfig(
     backbone="vgg16",
     image_size=512,
     anchors=SSD512_ANCHORS,
+    # approx_topk=False: jax.lax.approx_max_k inside the bf16 SSD-512
+    # program reproducibly faults the v5e TPU runtime at batch 8 (batch 4/16
+    # fine; f32 whole-model fine; input-dtype casts and optimization_barrier
+    # do NOT help) — isolated 2026-08-17, tools/isolate_ssd512_crash.py.
+    # Exact top_k sidesteps the runtime bug at ~equal end-to-end throughput.
     detect=DetectConfig(score_threshold=0.01, nms_iou_threshold=0.45,
                         pre_nms_top_k=400, max_detections=200,
-                        use_sigmoid=False),
+                        use_sigmoid=False, approx_topk=False),
 )
 
 RETINANET_R50_512 = ModelConfig(

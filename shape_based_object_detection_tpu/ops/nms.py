@@ -166,6 +166,10 @@ def select_top_candidates(
     """
     a, c = class_scores.shape
     flat = class_scores.reshape(-1)  # (A*C,) anchor-major
+    # Select in f32: bf16 top-k has coarse tie granularity (many equal
+    # scores -> arbitrary order); the cast fuses into the producing op.
+    if flat.dtype != jnp.float32:
+        flat = flat.astype(jnp.float32)
     k = min(top_k, a * c)
     if approx:
         top_scores, top_idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)

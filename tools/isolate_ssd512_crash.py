@@ -26,6 +26,8 @@ VARIANTS = [
     "forward_only",       # no postprocess at all
     "batch4",             # smaller batch, otherwise default
     "batch16",            # larger batch, otherwise default
+    "barrier",            # optimization_barrier before approx_max_k
+    "softmax_f32",        # softmax (and selection) computed in f32
 ]
 
 
@@ -62,6 +64,21 @@ def run_variant(name: str) -> None:
     elif name == "batch16":
         batch = 16
     model_cfg = dataclasses.replace(model_cfg, detect=det)
+
+    if name in ("barrier", "softmax_f32"):
+        from shape_based_object_detection_tpu.ops import nms as nms_mod
+
+        orig = nms_mod.select_top_candidates
+
+        def patched(boxes_xyxy, class_scores, **kw):
+            if name == "softmax_f32":
+                class_scores = class_scores.astype(jnp.float32)
+            else:
+                class_scores = jax.lax.optimization_barrier(
+                    class_scores.astype(jnp.float32))
+            return orig(boxes_xyxy, class_scores, **kw)
+
+        nms_mod.select_top_candidates = patched
 
     module, variables, anchors = build_model(model_cfg)
     rng = np.random.default_rng(0)
