@@ -82,6 +82,9 @@ class DetectConfig:
     # NMS backend: "auto" (Pallas on TPU, scan elsewhere), "pallas", "scan",
     # or "matrix" (round-based MXU formulation). All bit-identical (tested).
     nms_backend: str = "auto"
+    # Gaussian Soft-NMS (Bodla et al. 2017): > 0 decays overlapping scores by
+    # exp(-iou^2/sigma) instead of hard suppression (0 = classic hard NMS).
+    soft_nms_sigma: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -70,6 +70,14 @@ def postprocess(
     if backend == "auto":
         backend = "pallas" if _use_pallas_default() else "scan"
 
+    if det.soft_nms_sigma > 0:
+        # Soft-NMS decays scores rather than suppressing; it has its own
+        # scan formulation (backend choice does not apply).
+        return nms_lib.batched_class_aware_soft_nms(
+            cand_boxes, cand_scores, cand_classes, cand_valid,
+            sigma=det.soft_nms_sigma, score_threshold=det.score_threshold,
+            max_detections=det.max_detections)
+
     args = (cand_boxes, cand_scores, cand_classes, cand_valid)
     kwargs = dict(iou_threshold=det.nms_iou_threshold,
                   max_detections=det.max_detections)

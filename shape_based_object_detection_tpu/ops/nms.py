@@ -80,6 +80,62 @@ def greedy_nms(
     return NMSResult(indices=idx, scores=jnp.where(ok, sc, 0.0), valid=ok)
 
 
+def soft_nms(
+    boxes_xyxy: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    sigma: float,
+    score_threshold: float,
+    max_detections: int,
+) -> NMSResult:
+    """Gaussian Soft-NMS (Bodla et al. 2017, arXiv:1704.04503).
+
+    Same greedy select loop as :func:`greedy_nms`, but instead of removing
+    candidates above an IoU threshold, every remaining candidate's score is
+    decayed multiplicatively by ``exp(-iou^2 / sigma)`` against the selected
+    box. Selected entries report their (cumulatively decayed) score; entries
+    whose decayed score falls below ``score_threshold`` come back invalid.
+    Scores must be non-negative (post-activation), which detect() guarantees.
+    """
+    live = jnp.where(valid, scores, _NEG_INF)
+
+    def step(live_scores, _):
+        idx = jnp.argmax(live_scores)
+        best = live_scores[idx]
+        is_valid = best > jnp.maximum(score_threshold, _NEG_INF / 2)
+        ious = _iou_row(boxes_xyxy[idx], boxes_xyxy)
+        decay = jnp.exp(-(ious * ious) / sigma)
+        decayed = jnp.where(live_scores > 0, live_scores * decay, live_scores)
+        live_scores = jnp.where(is_valid, decayed, live_scores)
+        live_scores = live_scores.at[idx].set(_NEG_INF)  # consume selection
+        return live_scores, (idx.astype(jnp.int32), best, is_valid)
+
+    _, (idx, sc, ok) = jax.lax.scan(step, live, None, length=max_detections)
+    return NMSResult(indices=idx, scores=jnp.where(ok, sc, 0.0), valid=ok)
+
+
+def batched_class_aware_soft_nms(
+    boxes_xyxy: jnp.ndarray,  # (B, N, 4) normalized
+    scores: jnp.ndarray,  # (B, N)
+    classes: jnp.ndarray,  # (B, N) int32
+    valid: jnp.ndarray,  # (B, N) bool
+    sigma: float,
+    score_threshold: float,
+    max_detections: int,
+) -> Detections:
+    """Class-aware Soft-NMS via the same coordinate-offset trick (cross-class
+    IoU is exactly 0, so cross-class decay is exp(0)=1: a no-op)."""
+
+    def one(b, s, c, v):
+        offset = c.astype(b.dtype)[:, None] * 2.0
+        res = soft_nms(b + offset, s, v, sigma, score_threshold,
+                       max_detections)
+        return b[res.indices], res.scores, c[res.indices], res.valid
+
+    bx, sc, cl, ok = jax.vmap(one)(boxes_xyxy, scores, classes, valid)
+    return Detections(boxes=bx, scores=sc, labels=cl, valid=ok)
+
+
 def nms_mask(
     boxes_xyxy: jnp.ndarray,
     scores: jnp.ndarray,

@@ -108,3 +108,111 @@ def test_select_top_candidates(rng):
     flat = scores.reshape(-1)
     top = np.sort(flat)[::-1][:30]
     np.testing.assert_allclose(sc_np, top, atol=1e-6)
+
+
+def _soft_nms_golden(boxes, scores, sigma, score_threshold, max_det):
+    """Independent O(n^2) reference of Gaussian Soft-NMS (Bodla et al. 2017)."""
+    boxes = boxes.copy()
+    scores = scores.astype(np.float64).copy()
+    alive = np.ones(len(scores), bool)
+    out = []
+    for _ in range(max_det):
+        if not alive.any():
+            break
+        idx = int(np.argmax(np.where(alive, scores, -np.inf)))
+        s = scores[idx]
+        if s <= score_threshold:
+            break
+        out.append((idx, s))
+        alive[idx] = False
+        # IoU of selected vs everyone
+        lt = np.maximum(boxes[idx, :2], boxes[:, :2])
+        rb = np.minimum(boxes[idx, 2:], boxes[:, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        a = (boxes[idx, 2] - boxes[idx, 0]) * (boxes[idx, 3] - boxes[idx, 1])
+        b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / np.maximum(a + b - inter, 1e-8)
+        scores = np.where(alive, scores * np.exp(-(iou ** 2) / sigma), scores)
+    return out
+
+
+def test_soft_nms_matches_independent_golden(rng):
+    boxes, scores = _random_candidates(rng, 60)
+    sigma, thr = 0.5, 0.05
+    gold = _soft_nms_golden(boxes, scores, sigma, thr, 60)
+
+    res = N.soft_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                     jnp.ones(60, bool), sigma, thr, 60)
+    ok = np.asarray(res.valid)
+    ours_idx = np.asarray(res.indices)[ok]
+    ours_sc = np.asarray(res.scores)[ok]
+    gold_idx = np.asarray([g[0] for g in gold])
+    gold_sc = np.asarray([g[1] for g in gold])
+    np.testing.assert_array_equal(ours_idx, gold_idx)
+    np.testing.assert_allclose(ours_sc, gold_sc, rtol=1e-5)
+
+
+def test_soft_nms_padding_invariance(rng):
+    boxes, scores = _random_candidates(rng, 30)
+    pad_boxes = np.concatenate([boxes, np.zeros((10, 4), np.float32)])
+    pad_scores = np.concatenate([scores, np.full(10, 9.0, np.float32)])
+    valid = np.concatenate([np.ones(30, bool), np.zeros(10, bool)])
+    r1 = N.soft_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                    jnp.ones(30, bool), 0.5, 0.05, 30)
+    r2 = N.soft_nms(jnp.asarray(pad_boxes), jnp.asarray(pad_scores),
+                    jnp.asarray(valid), 0.5, 0.05, 30)
+    np.testing.assert_array_equal(
+        np.asarray(r1.indices)[np.asarray(r1.valid)],
+        np.asarray(r2.indices)[np.asarray(r2.valid)])
+
+
+def test_soft_nms_sigma_zero_limit_equals_hard_for_disjoint(rng):
+    """Non-overlapping boxes: soft and hard NMS keep everything, same order."""
+    boxes = np.asarray([[0.0, 0.0, 0.1, 0.1],
+                        [0.3, 0.3, 0.4, 0.4],
+                        [0.6, 0.6, 0.7, 0.7]], np.float32)
+    scores = np.asarray([0.9, 0.8, 0.7], np.float32)
+    soft = N.soft_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                      jnp.ones(3, bool), 0.5, 0.01, 3)
+    hard = N.greedy_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                        jnp.ones(3, bool), 0.5, 3)
+    np.testing.assert_array_equal(np.asarray(soft.indices),
+                                  np.asarray(hard.indices))
+    np.testing.assert_allclose(np.asarray(soft.scores),
+                               np.asarray(hard.scores), rtol=1e-6)
+
+
+def test_class_aware_soft_nms_no_cross_class_decay(rng):
+    """Identical overlapping boxes in different classes must both survive
+    with undecayed scores (offset trick -> cross-class IoU 0)."""
+    box = np.asarray([[0.2, 0.2, 0.6, 0.6]], np.float32)
+    boxes = np.concatenate([box, box]).astype(np.float32)
+    scores = np.asarray([0.9, 0.8], np.float32)
+    classes = np.asarray([0, 1], np.int32)
+    det = N.batched_class_aware_soft_nms(
+        jnp.asarray(boxes)[None], jnp.asarray(scores)[None],
+        jnp.asarray(classes)[None], jnp.ones((1, 2), bool),
+        sigma=0.5, score_threshold=0.05, max_detections=2)
+    assert bool(np.all(np.asarray(det.valid[0])))
+    np.testing.assert_allclose(np.sort(np.asarray(det.scores[0])),
+                               [0.8, 0.9], rtol=1e-6)
+
+
+def test_detect_with_soft_nms_runs(rng):
+    """End-to-end postprocess with soft_nms_sigma > 0 compiles and runs."""
+    import dataclasses
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu.detection import postprocess
+    from shape_based_object_detection_tpu.ops import anchors as anchor_lib
+
+    cfg = config_lib.tiny_test_model("retinanet")
+    cfg = dataclasses.replace(
+        cfg, detect=dataclasses.replace(cfg.detect, soft_nms_sigma=0.5))
+    anchors = anchor_lib.anchors_for_model(cfg)
+    a = anchors.shape[0]
+    cls = jnp.asarray(rng.normal(size=(2, a, cfg.num_classes)), jnp.float32)
+    off = jnp.asarray(rng.normal(scale=0.1, size=(2, a, 4)), jnp.float32)
+    det = postprocess(cls, off, anchors, cfg)
+    assert det.boxes.shape == (2, cfg.detect.max_detections, 4)
+    assert bool(np.all(np.asarray(det.scores) >= 0))
