@@ -44,11 +44,23 @@ def make_lr_schedule(cfg) -> optax.Schedule:
     return optax.join_schedules([warmup, decay], [max(1, cfg.warmup_steps)])
 
 
+def decay_mask(params):
+    """True for conv/dense kernels only: biases and norm scales (L2Norm, BN)
+    are excluded from weight decay (standard practice — decaying them skews
+    the effective learning dynamics without regularizing capacity)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: getattr(path[-1], "key", None) == "kernel"
+        and x.ndim >= 2,
+        params,
+    )
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     schedule = make_lr_schedule(cfg)
     parts = [optax.clip_by_global_norm(cfg.grad_clip_norm)]
     if cfg.weight_decay:
-        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+        parts.append(optax.add_decayed_weights(cfg.weight_decay,
+                                               mask=decay_mask))
     if cfg.optimizer == "sgd":
         parts.append(optax.sgd(schedule, momentum=cfg.momentum, nesterov=False))
     elif cfg.optimizer == "adamw":

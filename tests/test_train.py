@@ -219,3 +219,42 @@ def test_ema_checkpoint_roundtrip(tiny_setup, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]))
+
+
+def test_weight_decay_excludes_bias_and_norm(tiny_setup):
+    """Decay applies to conv/dense kernels only; with zero grads (after
+    warmup) biases/norm scales must be exactly unchanged while kernels move."""
+    cfg, module, variables, anchors, _ = tiny_setup
+    mask = train_lib.decay_mask(variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    names = {jax.tree_util.keystr(p).rsplit("'", 2)[-2]: v for p, v in flat}
+    assert names.get("kernel") in (True, False)  # structure sanity
+    kernels = [v for p, v in flat
+               if jax.tree_util.keystr(p).endswith("'kernel']")]
+    non_kernels = [v for p, v in flat
+                   if not jax.tree_util.keystr(p).endswith("'kernel']")]
+    assert kernels and all(v is True or v == True for v in kernels)
+    assert non_kernels and all(not v for v in non_kernels)
+
+    wd_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, weight_decay=1e-2,
+                                       warmup_steps=1))
+    tx = train_lib.make_optimizer(wd_cfg.train)
+    params = variables["params"]
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    opt_state = tx.init(params)
+    # step 1 (lr=0 warmup), step 2 (lr>0): decay shows on step 2
+    for _ in range(2):
+        updates, opt_state = tx.update(zero_grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    orig = dict(jax.tree_util.tree_leaves_with_path(variables["params"]))
+    for path, leaf in leaves:
+        same = np.array_equal(np.asarray(leaf),
+                              np.asarray(dict(orig.items())[path]))
+        if jax.tree_util.keystr(path).endswith("'kernel']") and leaf.ndim >= 2:
+            nonzero = float(jnp.abs(leaf).max()) > 0
+            if nonzero:
+                assert not same, f"kernel {path} not decayed"
+        else:
+            assert same, f"non-kernel {path} was decayed"
