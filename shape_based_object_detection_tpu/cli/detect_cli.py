@@ -23,25 +23,69 @@ def main(argv=None):
     p.add_argument("--image", required=True)
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--min-score", type=float, default=0.3)
+    p.add_argument("--quantize", action="store_true",
+                   help="serve from int8 weight-only quantized params")
+    p.add_argument("--ema", action="store_true",
+                   help="serve the checkpoint's EMA weights (needs a "
+                        "checkpoint trained with ema_decay > 0)")
+    p.add_argument("--artifact", default="",
+                   help="run from an exported .sbdx artifact instead of "
+                        "building the model (--config/--checkpoint ignored)")
     args = p.parse_args(argv)
 
-    cfg = config_lib.get_config(args.config)
-    module, variables, anchors = build_model(cfg.model)
-
-    if args.checkpoint_dir:
-        from shape_based_object_detection_tpu import train as train_lib
-        from shape_based_object_detection_tpu.checkpoint import CheckpointManager
-
-        state = train_lib.create_train_state(module, variables, cfg)
-        restored = CheckpointManager(args.checkpoint_dir).restore_latest(state)
-        if restored is not None:
-            variables = {"params": restored.params, **restored.extra_vars}
-
-    detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
     img = decode_image_host(args.image)
-    boxes, scores, labels = detect_single_image(
-        detect, variables, img, cfg.model.image_size
-    )
+
+    if args.artifact:
+        import numpy as np
+        from PIL import Image
+
+        from shape_based_object_detection_tpu.export import load_artifact
+
+        loaded = load_artifact(args.artifact)
+        size = loaded.header["image_size"]
+        batch = np.zeros((loaded.header["batch_size"], size, size, 3),
+                         np.uint8)
+        batch[0] = np.asarray(
+            Image.fromarray(img).resize((size, size), Image.BILINEAR))
+        det = loaded(batch)
+        h, w = img.shape[:2]
+        keep = np.asarray(det.valid[0])
+        boxes = np.asarray(det.boxes[0])[keep] * np.asarray(
+            [w, h, w, h], np.float32)
+        scores = np.asarray(det.scores[0])[keep]
+        labels = np.asarray(det.labels[0])[keep]
+    else:
+        cfg = config_lib.get_config(args.config)
+        module, variables, anchors = build_model(cfg.model)
+
+        if args.checkpoint_dir:
+            from shape_based_object_detection_tpu import train as train_lib
+            from shape_based_object_detection_tpu.checkpoint import (
+                CheckpointManager,
+            )
+
+            state = train_lib.create_train_state(module, variables, cfg)
+            restored = CheckpointManager(
+                args.checkpoint_dir).restore_latest(state)
+            if restored is not None:
+                params = (restored.ema_params
+                          if args.ema and restored.ema_params is not None
+                          else restored.params)
+                variables = {"params": params, **restored.extra_vars}
+
+        if args.quantize:
+            from shape_based_object_detection_tpu.quantize import (
+                make_quantized_detect_fn, quantize_params,
+            )
+
+            variables = quantize_params(variables)
+            detect = make_quantized_detect_fn(module, anchors, cfg.model,
+                                              cfg.data)
+        else:
+            detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
+        boxes, scores, labels = detect_single_image(
+            detect, variables, img, cfg.model.image_size
+        )
     # detect() labels are 0-based foreground ids; report dataset 1-based ids
     # (VOC_CLASSES / the COCO contiguous mapping) like the reference does
     results = [

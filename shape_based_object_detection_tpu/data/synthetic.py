@@ -21,12 +21,24 @@ PALETTE = np.asarray(
 )
 
 
+def _class_color(cls: int) -> np.ndarray:
+    """Distinct uint8 color for any class id: the hand-picked palette for the
+    first 6 (kept stable for existing oracle tests), then a deterministic
+    golden-ratio hue walk for arbitrarily many classes (VOC 20 / COCO 80)."""
+    if cls < len(PALETTE):
+        return PALETTE[cls]
+    import colorsys
+
+    h = (cls * 0.61803398875) % 1.0
+    r, g, b = colorsys.hsv_to_rgb(h, 0.85, 0.9)
+    return np.asarray([int(r * 255), int(g * 255), int(b * 255)], np.uint8)
+
+
 class SyntheticDetection:
     """Images of colored rectangles on noise; label = color index + 1."""
 
     def __init__(self, size: int = 300, num_images: int = 64,
                  max_objects: int = 4, num_classes: int = 4, seed: int = 0):
-        assert num_classes <= len(PALETTE)
         self.size = size
         self.num_images = num_images
         self.max_objects = max_objects
@@ -49,7 +61,7 @@ class SyntheticDetection:
             y0 = rng.uniform(0, 1 - h)
             cls = int(rng.integers(0, self.num_classes))
             px = [int(x0 * s), int(y0 * s), int((x0 + w) * s), int((y0 + h) * s)]
-            img[px[1] : px[3], px[0] : px[2]] = PALETTE[cls]
+            img[px[1] : px[3], px[0] : px[2]] = _class_color(cls)
             boxes.append([x0, y0, x0 + w, y0 + h])
             labels.append(cls + 1)
         return img, np.asarray(boxes, np.float32), np.asarray(labels, np.int32)

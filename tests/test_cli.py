@@ -60,3 +60,39 @@ def test_train_cli_resumes_from_checkpoint(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "restored checkpoint at step 2" in out
     assert "done at step 4" in out
+
+
+def test_detect_cli_quantized(tmp_path, capsys):
+    from PIL import Image
+
+    from shape_based_object_detection_tpu.cli.detect_cli import main
+
+    img_path = tmp_path / "img.jpg"
+    Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    ).save(img_path)
+    main(["--config", "tiny_retinanet", "--image", str(img_path),
+          "--min-score", "0.0", "--quantize"])
+    json.loads(capsys.readouterr().out)
+
+
+def test_detect_cli_from_artifact(tmp_path, capsys):
+    from PIL import Image
+
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu import export as export_lib
+    from shape_based_object_detection_tpu.cli.detect_cli import main
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    blob = export_lib.export_from_config(cfg, batch_size=1,
+                                         platforms=("cpu",))
+    art = tmp_path / "m.sbdx"
+    export_lib.save_artifact(blob, str(art))
+
+    img_path = tmp_path / "img.jpg"
+    Image.fromarray(
+        np.random.default_rng(2).integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    ).save(img_path)
+    main(["--image", str(img_path), "--artifact", str(art),
+          "--min-score", "0.0"])
+    json.loads(capsys.readouterr().out)
