@@ -52,6 +52,8 @@ def main(argv=None):
                    help="write TensorBoard scalars (loss terms, lr, img/s)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="run VOC-mAP eval on the train stream every N steps")
+    p.add_argument("--workers", type=int, default=4,
+                   help="data-loader worker threads (0 = serial)")
     p.add_argument("--num-processes", type=int, default=0)
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--coordinator", default="")
@@ -93,6 +95,7 @@ def main(argv=None):
         dataset, cfg.data.batch_size // max(1, jax.process_count()),
         cfg.data.max_boxes, seed=cfg.train.seed,
         host_id=jax.process_index(), num_hosts=jax.process_count(),
+        workers=args.workers,
     )
     logger = MetricsLogger(log_every=args.log_every,
                            tensorboard_dir=args.tb_dir or None)

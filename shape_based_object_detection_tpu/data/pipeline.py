@@ -47,6 +47,11 @@ class Loader:
 
     Shuffles per epoch, pads annotations, drops the ragged tail batch (static
     shapes), shards by host for multi-host DP, and prefetches to device.
+
+    ``workers > 1`` fetches the samples of a batch through a thread pool —
+    the analog of the reference's ``DataLoader(num_workers=N)``. Threads (not
+    processes) suffice here because the per-sample work (JPEG decode via
+    PIL/libjpeg, large numpy slicing) releases the GIL.
     """
 
     def __init__(
@@ -59,6 +64,7 @@ class Loader:
         host_id: int = 0,
         num_hosts: int = 1,
         prefetch: int = 2,
+        workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -68,6 +74,12 @@ class Loader:
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.prefetch = prefetch
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
+        else:
+            self._pool = None
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -77,19 +89,21 @@ class Loader:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
         return idx[self.host_id :: self.num_hosts]
 
+    def _sample(self, i):
+        img, boxes, labels = self.dataset[int(i)]
+        b, l, v = pad_annotations(boxes, labels, self.max_boxes)
+        return img, b, l, v
+
     def batches(self, epoch: int = 0) -> Iterator[DetectionBatch]:
         idx = self._epoch_indices(epoch)
         bs = self.batch_size
         for start in range(0, len(idx) - bs + 1, bs):
             chunk = idx[start : start + bs]
-            imgs, bxs, lbs, vds = [], [], [], []
-            for i in chunk:
-                img, boxes, labels = self.dataset[int(i)]
-                b, l, v = pad_annotations(boxes, labels, self.max_boxes)
-                imgs.append(img)
-                bxs.append(b)
-                lbs.append(l)
-                vds.append(v)
+            if self._pool is not None:
+                samples = list(self._pool.map(self._sample, chunk))
+            else:
+                samples = [self._sample(i) for i in chunk]
+            imgs, bxs, lbs, vds = zip(*samples)
             yield DetectionBatch(
                 images=np.stack(imgs),
                 boxes=np.stack(bxs),

@@ -144,3 +144,18 @@ def test_coco_dataset_end_to_end(tmp_path):
     img, boxes, labels = ds[0]
     assert img.shape == (32, 32, 3)
     np.testing.assert_allclose(boxes[0], [0.05, 0.2, 0.2, 0.6])
+
+
+def test_loader_workers_same_batches():
+    """workers>1 (thread-pool sample fetch) must yield identical batches."""
+    from shape_based_object_detection_tpu.data.pipeline import Loader
+    from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
+
+    ds = SyntheticDetection(size=64, num_images=16, num_classes=4)
+    serial = Loader(ds, batch_size=4, max_boxes=6, workers=0)
+    pooled = Loader(ds, batch_size=4, max_boxes=6, workers=4)
+    for b1, b2 in zip(serial.batches(epoch=1), pooled.batches(epoch=1)):
+        np.testing.assert_array_equal(b1.images, b2.images)
+        np.testing.assert_array_equal(b1.boxes, b2.boxes)
+        np.testing.assert_array_equal(b1.labels, b2.labels)
+        np.testing.assert_array_equal(b1.valid, b2.valid)
