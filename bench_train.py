@@ -7,6 +7,7 @@ bfloat16 on the available chip. Prints one JSON line.
 
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import json
 import time
@@ -18,6 +19,12 @@ SIZE = 512
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--no-augment", action="store_true")
+    args = ap.parse_args()
+    batch_size = args.batch
     import jax
     import jax.numpy as jnp
 
@@ -35,22 +42,25 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg,
         model=model_cfg,
-        data=dataclasses.replace(cfg.data, batch_size=BATCH, max_boxes=64),
+        data=dataclasses.replace(cfg.data, batch_size=batch_size,
+                                 max_boxes=64),
+        train=dataclasses.replace(cfg.train, remat=args.remat),
     )
     module, variables, anchors = build_model(model_cfg)
     state = train_lib.create_train_state(module, variables, cfg)
-    step = train_lib.make_train_step(module, anchors, cfg, augment=True)
+    step = train_lib.make_train_step(module, anchors, cfg,
+                                     augment=not args.no_augment)
 
     rng = np.random.default_rng(0)
     g = cfg.data.max_boxes
     batch = {
         "images": jnp.asarray(
-            rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)),
+            rng.integers(0, 255, (batch_size, SIZE, SIZE, 3), dtype=np.uint8)),
         "boxes": jnp.asarray(np.tile(
-            np.asarray([0.2, 0.2, 0.7, 0.7], np.float32), (BATCH, g, 1))),
-        "labels": jnp.asarray(rng.integers(1, 81, (BATCH, g)).astype(np.int32)),
+            np.asarray([0.2, 0.2, 0.7, 0.7], np.float32), (batch_size, g, 1))),
+        "labels": jnp.asarray(rng.integers(1, 81, (batch_size, g)).astype(np.int32)),
         "valid": jnp.asarray(
-            np.tile(np.asarray([True] * 8 + [False] * (g - 8)), (BATCH, 1))),
+            np.tile(np.asarray([True] * 8 + [False] * (g - 8)), (batch_size, 1))),
     }
 
     # iterations chain through `state`, so the device serializes them; sync
@@ -69,7 +79,7 @@ def main() -> None:
     dt = (t1 - t0 - rtt) / n
     print(json.dumps({
         "metric": "retinanet_r50_fpn_512px_train_images_per_sec_per_chip",
-        "value": round(BATCH / dt, 2),
+        "value": round(batch_size / dt, 2),
         "unit": "images/sec",
         "loss": round(float(np.asarray(metrics["loss"])), 4),
     }))
