@@ -36,25 +36,13 @@ def main(argv=None):
     img = decode_image_host(args.image)
 
     if args.artifact:
-        import numpy as np
-        from PIL import Image
+        from shape_based_object_detection_tpu.serving import ArtifactPredictor
 
-        from shape_based_object_detection_tpu.export import load_artifact
-
-        loaded = load_artifact(args.artifact)
-        size = loaded.header["image_size"]
-        batch = np.zeros((loaded.header["batch_size"], size, size, 3),
-                         np.uint8)
-        batch[0] = np.asarray(
-            Image.fromarray(img).resize((size, size), Image.BILINEAR))
-        det = loaded(batch)
-        h, w = img.shape[:2]
-        keep = np.asarray(det.valid[0])
-        boxes = np.asarray(det.boxes[0])[keep] * np.asarray(
-            [w, h, w, h], np.float32)
-        scores = np.asarray(det.scores[0])[keep]
-        labels = np.asarray(det.labels[0])[keep]
+        det = ArtifactPredictor(args.artifact).predict([img])[0]
+        boxes, scores, labels = det.boxes, det.scores, det.labels
     else:
+        import dataclasses
+
         cfg = config_lib.get_config(args.config)
         module, variables, anchors = build_model(cfg.model)
 
@@ -64,12 +52,20 @@ def main(argv=None):
                 CheckpointManager,
             )
 
+            if args.ema and cfg.train.ema_decay == 0:
+                # restore template must carry the EMA subtree to match a
+                # checkpoint trained with --ema-decay
+                cfg = dataclasses.replace(
+                    cfg, train=dataclasses.replace(cfg.train, ema_decay=0.99))
             state = train_lib.create_train_state(module, variables, cfg)
             restored = CheckpointManager(
                 args.checkpoint_dir).restore_latest(state)
             if restored is not None:
-                params = (restored.ema_params
-                          if args.ema and restored.ema_params is not None
+                if args.ema and restored.ema_params is None:
+                    raise SystemExit(
+                        "--ema: checkpoint has no EMA weights (train with "
+                        "--ema-decay > 0)")
+                params = (restored.ema_params if args.ema
                           else restored.params)
                 variables = {"params": params, **restored.extra_vars}
 

@@ -54,6 +54,9 @@ def main(argv=None):
                    help="run VOC-mAP eval on the train stream every N steps")
     p.add_argument("--workers", type=int, default=4,
                    help="data-loader worker threads (0 = serial)")
+    p.add_argument("--ema-decay", type=float, default=-1.0,
+                   help="override TrainConfig.ema_decay (e.g. 0.999; "
+                        "detect_cli --ema serves the averaged weights)")
     p.add_argument("--num-processes", type=int, default=0)
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--coordinator", default="")
@@ -73,6 +76,10 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            checkpoint_dir=args.checkpoint_dir))
+    if args.ema_decay >= 0:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           ema_decay=args.ema_decay))
 
     module, variables, anchors = build_model(cfg.model)
     state = train_lib.create_train_state(module, variables, cfg)

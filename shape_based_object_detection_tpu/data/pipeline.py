@@ -75,11 +75,22 @@ class Loader:
         self.num_hosts = num_hosts
         self.prefetch = prefetch
         if workers > 1:
+            import weakref
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(max_workers=workers)
+            # release worker threads when the Loader is garbage-collected or
+            # close()d — never hold them to interpreter exit
+            self._finalizer = weakref.finalize(
+                self, self._pool.shutdown, False)
         else:
             self._pool = None
+            self._finalizer = None
+
+    def close(self) -> None:
+        """Shut down worker threads (also runs on garbage collection)."""
+        if self._finalizer is not None:
+            self._finalizer()
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)

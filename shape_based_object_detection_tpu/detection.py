@@ -129,10 +129,12 @@ def detect_single_image(detect_fn, params, image_np, image_size: int
     import numpy as np
 
     h, w = image_np.shape[:2]
-    # Host resize to the static network size (plain bilinear, like the family).
+    # Host resize to the static network size (BILINEAR — the one filter used
+    # by every serving path, so --config and --artifact detections agree).
     from PIL import Image
 
-    img = Image.fromarray(image_np).resize((image_size, image_size))
+    img = Image.fromarray(image_np).resize((image_size, image_size),
+                                           Image.BILINEAR)
     batch = np.asarray(img, dtype=np.uint8)[None]
     det = detect_fn(params, jnp.asarray(batch))
     valid = np.asarray(det.valid[0])

@@ -29,6 +29,39 @@ class Detection:
     labels: np.ndarray  # (K,) 0-based foreground class ids
 
 
+def prepare_batch(images: Sequence[np.ndarray], size: int, batch_size: int
+                  ) -> Tuple[np.ndarray, list]:
+    """Resize (BILINEAR, the filter used across all serving paths) and
+    zero-pad a request of <= batch_size images to the compiled batch shape.
+    Returns (batch (B,S,S,3) uint8, original (h, w) sizes)."""
+    from PIL import Image
+
+    assert len(images) <= batch_size
+    batch = np.zeros((batch_size, size, size, 3), np.uint8)
+    sizes = []
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        sizes.append((h, w))
+        batch[i] = np.asarray(
+            Image.fromarray(img).resize((size, size), Image.BILINEAR))
+    return batch, sizes
+
+
+def unpack_detections(det, sizes, min_score: float = 0.0) -> List[Detection]:
+    """Fixed-size device Detections -> per-image unpadded pixel-space lists."""
+    boxes = np.asarray(det.boxes)
+    scores = np.asarray(det.scores)
+    labels = np.asarray(det.labels)
+    valid = np.asarray(det.valid)
+    out = []
+    for i, (h, w) in enumerate(sizes):
+        keep = valid[i] & (scores[i] >= min_score)
+        bx = boxes[i][keep] * np.asarray([w, h, w, h], np.float32)
+        out.append(Detection(boxes=bx, scores=scores[i][keep],
+                             labels=labels[i][keep]))
+    return out
+
+
 class Predictor:
     """detect() as a service: fixed batch, padded, async-dispatch friendly."""
 
@@ -54,25 +87,11 @@ class Predictor:
             self._detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
         self._pending: Optional[Tuple] = None
 
-    def _prepare(self, images: Sequence[np.ndarray]) -> Tuple[jnp.ndarray, list]:
-        from PIL import Image
-
-        assert len(images) <= self.batch_size
-        batch = np.zeros((self.batch_size, self.size, self.size, 3), np.uint8)
-        sizes = []
-        for i, img in enumerate(images):
-            h, w = img.shape[:2]
-            sizes.append((h, w))
-            batch[i] = np.asarray(
-                Image.fromarray(img).resize((self.size, self.size),
-                                            Image.BILINEAR))
-        return jnp.asarray(batch), sizes
-
     def submit(self, images: Sequence[np.ndarray]) -> None:
         """Dispatch a batch without blocking (device runs while host works)."""
         assert self._pending is None, "poll() the previous batch first"
-        dev_batch, sizes = self._prepare(images)
-        det = self._detect(self.variables, dev_batch)  # async dispatch
+        batch, sizes = prepare_batch(images, self.size, self.batch_size)
+        det = self._detect(self.variables, jnp.asarray(batch))  # async
         self._pending = (det, sizes)
 
     def poll(self) -> List[Detection]:
@@ -80,18 +99,26 @@ class Predictor:
         assert self._pending is not None
         det, sizes = self._pending
         self._pending = None
-        boxes = np.asarray(det.boxes)
-        scores = np.asarray(det.scores)
-        labels = np.asarray(det.labels)
-        valid = np.asarray(det.valid)
-        out = []
-        for i, (h, w) in enumerate(sizes):
-            keep = valid[i] & (scores[i] >= self.min_score)
-            bx = boxes[i][keep] * np.asarray([w, h, w, h], np.float32)
-            out.append(Detection(boxes=bx, scores=scores[i][keep],
-                                 labels=labels[i][keep]))
-        return out
+        return unpack_detections(det, sizes, self.min_score)
 
     def predict(self, images: Sequence[np.ndarray]) -> List[Detection]:
         self.submit(images)
         return self.poll()
+
+
+class ArtifactPredictor:
+    """The Predictor surface over an exported ``.sbdx`` artifact: identical
+    host-side prepare/unpack, zero model-building Python (export.py)."""
+
+    def __init__(self, artifact_path: str, min_score: float = 0.0):
+        from shape_based_object_detection_tpu.export import load_artifact
+
+        self._model = load_artifact(artifact_path)
+        self.min_score = min_score
+        self.size = self._model.header["image_size"]
+        self.batch_size = self._model.header["batch_size"]
+
+    def predict(self, images: Sequence[np.ndarray]) -> List[Detection]:
+        batch, sizes = prepare_batch(images, self.size, self.batch_size)
+        det = self._model(batch)
+        return unpack_detections(det, sizes, self.min_score)

@@ -58,13 +58,16 @@ def decay_mask(params):
 def make_optimizer(cfg) -> optax.GradientTransformation:
     schedule = make_lr_schedule(cfg)
     parts = [optax.clip_by_global_norm(cfg.grad_clip_norm)]
-    if cfg.weight_decay:
-        parts.append(optax.add_decayed_weights(cfg.weight_decay,
-                                               mask=decay_mask))
     if cfg.optimizer == "sgd":
+        if cfg.weight_decay:
+            parts.append(optax.add_decayed_weights(cfg.weight_decay,
+                                                   mask=decay_mask))
         parts.append(optax.sgd(schedule, momentum=cfg.momentum, nesterov=False))
     elif cfg.optimizer == "adamw":
-        parts.append(optax.adamw(schedule))
+        # decoupled decay through adamw itself (its default weight_decay is
+        # NONZERO and unmasked — always override it with ours + the mask)
+        parts.append(optax.adamw(schedule, weight_decay=cfg.weight_decay,
+                                 mask=decay_mask))
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     return optax.chain(*parts)

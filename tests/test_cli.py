@@ -96,3 +96,26 @@ def test_detect_cli_from_artifact(tmp_path, capsys):
     main(["--image", str(img_path), "--artifact", str(art),
           "--min-score", "0.0"])
     json.loads(capsys.readouterr().out)
+
+
+def test_train_ema_then_detect_ema_roundtrip(tmp_path, capsys):
+    """--ema-decay training produces a checkpoint that detect_cli --ema can
+    actually serve (EMA subtree restores through the template)."""
+    from PIL import Image
+
+    from shape_based_object_detection_tpu.cli.detect_cli import main as detect
+    from shape_based_object_detection_tpu.cli.train_cli import main as train
+
+    ckpt = str(tmp_path / "ckpt")
+    train(["--config", "tiny_retinanet", "--steps", "2",
+           "--checkpoint-dir", ckpt, "--log-every", "100",
+           "--ema-decay", "0.5", "--workers", "0"])
+    capsys.readouterr()
+
+    img_path = tmp_path / "img.jpg"
+    Image.fromarray(
+        np.random.default_rng(3).integers(0, 255, (80, 80, 3), dtype=np.uint8)
+    ).save(img_path)
+    detect(["--config", "tiny_retinanet", "--image", str(img_path),
+            "--checkpoint-dir", ckpt, "--ema", "--min-score", "0.0"])
+    json.loads(capsys.readouterr().out)

@@ -258,3 +258,29 @@ def test_weight_decay_excludes_bias_and_norm(tiny_setup):
                 assert not same, f"kernel {path} not decayed"
         else:
             assert same, f"non-kernel {path} was decayed"
+
+
+def test_adamw_weight_decay_also_masked(tiny_setup):
+    """optax.adamw's own (nonzero, unmasked) default decay must be overridden:
+    with zero grads, biases stay exactly put while kernels decay."""
+    cfg, module, variables, anchors, _ = tiny_setup
+    tcfg = dataclasses.replace(cfg.train, optimizer="adamw",
+                               weight_decay=1e-2, warmup_steps=1)
+    tx = train_lib.make_optimizer(tcfg)
+    params = variables["params"]
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    opt_state = tx.init(params)
+    for _ in range(2):
+        updates, opt_state = tx.update(zero_grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    orig = dict(jax.tree_util.tree_leaves_with_path(variables["params"]))
+    changed = unchanged = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        same = np.array_equal(np.asarray(leaf), np.asarray(orig[path]))
+        if jax.tree_util.keystr(path).endswith("'kernel']") and leaf.ndim >= 2:
+            if float(jnp.abs(leaf).max()) > 0 and not same:
+                changed += 1
+        else:
+            assert same, f"non-kernel {path} decayed by adamw"
+            unchanged += 1
+    assert changed > 5 and unchanged > 5
