@@ -141,6 +141,10 @@ class TrainConfig:
     # EMA weights is the standard detection-training stabilizer; the decay
     # applies per step: ema = d*ema + (1-d)*params.
     ema_decay: float = 0.0
+    # accumulate gradients over N micro-batches before each optimizer update
+    # (1 = off): config #5's global batch on fewer chips/HBM. LR schedule and
+    # decay boundaries count OPTIMIZER steps, not micro-steps.
+    grad_accum_steps: int = 1
     # rematerialize the forward in backward (jax.checkpoint): trades FLOPs for
     # HBM — enables 1024px large-batch training (config #5)
     remat: bool = False

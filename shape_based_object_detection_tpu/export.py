@@ -138,16 +138,22 @@ def export_from_config(
     batch_size: int = 8,
     platforms: Sequence[str] = ("tpu", "cpu"),
     quantize: bool = False,
+    dtype: str | None = None,
 ) -> bytes:
     """Convenience: build the model from an ExperimentConfig and export.
 
     ``variables=None`` exports fresh-initialized weights (artifact-format
-    tests); pass restored variables for a real deployment.
+    tests); pass restored variables for a real deployment. ``dtype`` overrides
+    the compute dtype baked into the artifact (e.g. "bfloat16" to ship the
+    TPU-throughput configuration).
     """
     from shape_based_object_detection_tpu.models.factory import build_model
 
-    module, init_vars, anchors = build_model(experiment_cfg.model)
+    model_cfg = experiment_cfg.model
+    if dtype is not None:
+        model_cfg = dataclasses.replace(model_cfg, dtype=dtype)
+    module, init_vars, anchors = build_model(model_cfg)
     return export_detect(
         module, variables if variables is not None else init_vars, anchors,
-        experiment_cfg.model, experiment_cfg.data, batch_size, platforms,
+        model_cfg, experiment_cfg.data, batch_size, platforms,
         quantize=quantize)

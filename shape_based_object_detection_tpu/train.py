@@ -70,7 +70,12 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
                                  mask=decay_mask))
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if getattr(cfg, "grad_accum_steps", 1) > 1:
+        # micro-batch accumulation: updates are zero until every k-th step,
+        # where the optimizer sees the mean gradient of the last k batches
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 def create_train_state(

@@ -92,3 +92,13 @@ def test_export_cli_tool(tmp_path, capsys):
     assert "wrote" in capsys.readouterr().out
     loaded = export_lib.load_artifact(out)
     assert loaded.header["batch_size"] == 1
+
+
+def test_export_dtype_override(tiny_cfg, rng):
+    """--dtype bfloat16 bakes the throughput configuration into the artifact."""
+    blob = export_lib.export_from_config(
+        tiny_cfg, batch_size=1, platforms=("cpu",), dtype="bfloat16")
+    loaded = export_lib.load_detect(blob)
+    size = loaded.header["image_size"]
+    det = loaded(rng.integers(0, 255, (1, size, size, 3)).astype(np.uint8))
+    assert det.boxes.shape[0] == 1

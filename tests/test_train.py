@@ -284,3 +284,43 @@ def test_adamw_weight_decay_also_masked(tiny_setup):
             assert same, f"non-kernel {path} decayed by adamw"
             unchanged += 1
     assert changed > 5 and unchanged > 5
+
+
+def test_grad_accumulation_matches_big_batch(tiny_setup):
+    """2 micro-steps at batch B with grad_accum_steps=2 == 1 step at 2B
+    (same mean gradient reaches the optimizer; params update only on the
+    2nd micro-step)."""
+    cfg, module, variables, anchors, _ = tiny_setup
+    base_train = dataclasses.replace(cfg.train, warmup_steps=0, base_lr=0.01,
+                                     grad_clip_norm=1e9, weight_decay=0.0)
+
+    big = _fake_batch(dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=4)), seed=7)
+    half_a = {k: v[:2] for k, v in big.items()}
+    half_b = {k: v[2:] for k, v in big.items()}
+
+    # reference: one step on the concatenated batch
+    cfg_big = dataclasses.replace(
+        cfg, train=base_train,
+        data=dataclasses.replace(cfg.data, batch_size=4))
+    step_big = train_lib.make_train_step(module, anchors, cfg_big,
+                                         augment=False)
+    s_big = train_lib.create_train_state(module, variables, cfg_big)
+    s_big, _ = step_big(s_big, big)
+
+    # accumulated: two micro-steps of half the batch
+    cfg_acc = dataclasses.replace(
+        cfg, train=dataclasses.replace(base_train, grad_accum_steps=2))
+    step_acc = train_lib.make_train_step(module, anchors, cfg_acc,
+                                         augment=False)
+    s_acc = train_lib.create_train_state(module, variables, cfg_acc)
+    p0 = np.asarray(jax.tree_util.tree_leaves(s_acc.params)[0]).copy()
+    s_acc, _ = step_acc(s_acc, half_a)
+    p_mid = np.asarray(jax.tree_util.tree_leaves(s_acc.params)[0])
+    np.testing.assert_array_equal(p0, p_mid)  # no update on micro-step 1
+    s_acc, _ = step_acc(s_acc, half_b)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_acc.params),
+                    jax.tree_util.tree_leaves(s_big.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)

@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--platforms", default="tpu,cpu")
+    p.add_argument("--dtype", default="",
+                   help="compute-dtype override baked into the artifact "
+                        "(e.g. bfloat16 for the TPU-throughput path)")
     p.add_argument("--quantize", action="store_true",
                    help="embed int8 weight-only quantized constants (~4x "
                         "smaller artifact, dequantize fused on-chip)")
@@ -35,6 +38,11 @@ def main(argv=None):
     from shape_based_object_detection_tpu.models.factory import build_model
 
     cfg = config_lib.get_config(args.config)
+    if args.dtype:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, dtype=args.dtype))
     module, variables, anchors = build_model(cfg.model)
     if args.checkpoint_dir:
         from shape_based_object_detection_tpu import train as train_lib
