@@ -208,32 +208,44 @@ def select_top_candidates(
     approx: bool = False,
     activation=None,
 ):
-    """Flatten (anchor, class) pairs and keep the top-k by score.
+    """Keep the top-k (anchor, class) pairs by score — EXACTLY — in two
+    stages that avoid ever running top-k over the full A*C pair set:
+
+      1. reduce: per-anchor best class score (A*C -> A, one streaming pass)
+         and top-k_a anchors by that maximum, k_a = min(top_k, A).
+      2. top-k over only the selected anchors' pairs (k_a*C candidates).
+
+    This is exact, not approximate: if pair (a, c) with score s is among the
+    true top-k, fewer than k anchors can have max-score > s (each such anchor
+    contributes a pair outscoring s), so anchor a is always in stage 1's
+    top-k anchors. Cuts selection cost ~C-fold vs flat top-k (measured 6.0ms
+    -> sub-ms at RetinaNet/COCO scale, 49k anchors x 80 classes) and needs no
+    ``approx_max_k`` (which also faults the v5e runtime in one bf16 SSD-512
+    program — STATUS.md).
 
     Returns (boxes (K,4), scores (K,), classes (K,), valid (K,)) with classes
     in [0, C). Below-threshold pairs are masked invalid (but still occupy
     slots if fewer than K pass — callers rely on the valid mask, giving exact
     per-class score-threshold semantics with static shapes).
 
-    ``approx`` uses ``lax.approx_max_k`` (the TPU-native top-k, ~6x faster at
-    COCO scale, recall ~0.95). ``activation`` (e.g. sigmoid) is applied to the
-    K selected scores only — pass raw logits as ``class_scores`` when the
-    activation is monotonic and save an (A, C) elementwise pass.
+    ``approx`` is accepted for config compatibility and ignored: the exact
+    two-stage selection is faster than ``approx_max_k`` was. ``activation``
+    (e.g. sigmoid) is applied to the K selected scores only — pass raw logits
+    as ``class_scores`` when the activation is monotonic and save an (A, C)
+    elementwise pass.
     """
     a, c = class_scores.shape
-    flat = class_scores.reshape(-1)  # (A*C,) anchor-major
-    # Select in f32: bf16 top-k has coarse tie granularity (many equal
-    # scores -> arbitrary order); the cast fuses into the producing op.
-    if flat.dtype != jnp.float32:
-        flat = flat.astype(jnp.float32)
-    k = min(top_k, a * c)
-    if approx:
-        top_scores, top_idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
-    else:
-        top_scores, top_idx = jax.lax.top_k(flat, k)
+    # f32 for stable tie granularity (bf16 collapses many scores to equal)
+    scores = class_scores.astype(jnp.float32)
+    k_a = min(top_k, a)
+    anchor_best = jnp.max(scores, axis=-1)  # (A,) streaming reduce
+    _, anchor_sel = jax.lax.top_k(anchor_best, k_a)  # (k_a,)
+    sel_scores = scores[anchor_sel]  # (k_a, C) gather
+    k = min(top_k, k_a * c)
+    top_scores, top_idx = jax.lax.top_k(sel_scores.reshape(-1), k)
     if activation is not None:
         top_scores = activation(top_scores)
-    anchor_idx = top_idx // c
+    anchor_idx = anchor_sel[top_idx // c]
     class_idx = (top_idx % c).astype(jnp.int32)
     return (
         boxes_xyxy[anchor_idx],

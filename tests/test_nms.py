@@ -216,3 +216,27 @@ def test_detect_with_soft_nms_runs(rng):
     det = postprocess(cls, off, anchors, cfg)
     assert det.boxes.shape == (2, cfg.detect.max_detections, 4)
     assert bool(np.all(np.asarray(det.scores) >= 0))
+
+
+def test_two_stage_selection_equals_flat_topk(rng):
+    """The two-stage (anchor-max -> pair) selection must return exactly the
+    flat top-k pair set (scores identical; pairs consistent)."""
+    for a, c, k in [(500, 7, 64), (100, 3, 300), (40, 5, 1000)]:
+        boxes, _ = _random_candidates(rng, a)
+        scores = rng.uniform(0, 1, size=(a, c)).astype(np.float32)
+        bx, sc, cl, ok = N.select_top_candidates(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            score_threshold=0.5, top_k=k)
+        kk = min(k, a * c)
+        flat_sorted = np.sort(scores.reshape(-1))[::-1][:kk]
+        np.testing.assert_allclose(np.asarray(sc), flat_sorted, atol=1e-6)
+        # every returned pair's score is genuine
+        got_boxes = np.asarray(bx)
+        got_cls = np.asarray(cl)
+        for i in range(kk):
+            # find anchors whose box matches; one must carry this score
+            matches = np.where(
+                (np.abs(boxes - got_boxes[i]).max(axis=1) < 1e-6))[0]
+            assert any(
+                abs(scores[m, got_cls[i]] - float(sc[i])) < 1e-6
+                for m in matches)
