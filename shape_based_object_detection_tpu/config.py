@@ -76,8 +76,10 @@ class DetectConfig:
     pre_nms_top_k: int = 1000  # per image, across all classes
     max_detections: int = 200  # final top-k per image
     use_sigmoid: bool = False  # focal models score with sigmoid, SSD with softmax
-    # TPU-optimized approximate top-k for candidate selection (recall ~0.95,
-    # ~6x faster than exact at COCO scale). Exact mode for torch parity.
+    # Historical flag, now a no-op: candidate selection uses an exact
+    # two-stage top-k (anchor-max prereduce; see ops/nms.py
+    # select_top_candidates) that is faster than approx_max_k was and
+    # bit-exact, so there is nothing to approximate away.
     approx_topk: bool = True
     # NMS backend: "auto" (Pallas on TPU, scan elsewhere), "pallas", "scan",
     # or "matrix" (round-based MXU formulation). All bit-identical (tested).
@@ -239,11 +241,10 @@ SSD512 = ModelConfig(
     backbone="vgg16",
     image_size=512,
     anchors=SSD512_ANCHORS,
-    # approx_topk=False: jax.lax.approx_max_k inside the bf16 SSD-512
-    # program reproducibly faults the v5e TPU runtime at batch 8 (batch 4/16
-    # fine; f32 whole-model fine; input-dtype casts and optimization_barrier
-    # do NOT help) — isolated 2026-08-17, tools/isolate_ssd512_crash.py.
-    # Exact top_k sidesteps the runtime bug at ~equal end-to-end throughput.
+    # approx_topk=False kept from the approx_max_k era: that op inside the
+    # bf16 SSD-512 program reproducibly faulted the v5e runtime at batch 8
+    # (tools/isolate_ssd512_crash.py). Selection is now exact two-stage
+    # top-k everywhere, so the flag is a no-op and the fault is unreachable.
     detect=DetectConfig(score_threshold=0.01, nms_iou_threshold=0.45,
                         pre_nms_top_k=400, max_detections=200,
                         use_sigmoid=False, approx_topk=False),
