@@ -52,6 +52,8 @@ def postprocess(
                                    cfg.anchors.variances)
     boxes_xyxy = box_ops.clip_boxes(box_ops.cxcywh_to_xyxy(decoded))
 
+    batch = cls_logits.shape[0]
+    pairs = boxes_xyxy.shape[1] * sel_scores.shape[-1]
     select = jax.vmap(
         functools.partial(
             nms_lib.select_top_candidates,
@@ -59,6 +61,9 @@ def postprocess(
             top_k=det.pre_nms_top_k,
             approx=det.approx_topk,
             activation=activation,
+            # batch-aware strategy choice (see select_top_candidates): the
+            # prereduce amortizes at batch, flat top_k wins at b1 small-A*C
+            two_stage=(pairs >= 2_000_000 or batch >= 4),
         )
     )
     cand_boxes, cand_scores, cand_classes, cand_valid = select(

@@ -207,6 +207,7 @@ def select_top_candidates(
     top_k: int,
     approx: bool = False,
     activation=None,
+    two_stage: bool | None = None,
 ):
     """Keep the top-k (anchor, class) pairs by score — EXACTLY — in two
     stages that avoid ever running top-k over the full A*C pair set:
@@ -233,19 +234,35 @@ def select_top_candidates(
     (e.g. sigmoid) is applied to the K selected scores only — pass raw logits
     as ``class_scores`` when the activation is monotonic and save an (A, C)
     elementwise pass.
+
+    ``two_stage=None`` auto-selects by pair count: the prereduce pays off
+    once A*C is large, while at small A*C and batch 1 the two dependent
+    top_k's serial latency loses to one flat top_k (measured: R50 49k x 80
+    wins at every batch, +16..31%; SSD 0.5-0.7M pairs wins at batch >= ~4
+    but loses ~28% at batch 1 — postprocess() passes the batch-aware
+    choice explicitly).
     """
     a, c = class_scores.shape
-    # f32 for stable tie granularity (bf16 collapses many scores to equal)
-    scores = class_scores.astype(jnp.float32)
-    k_a = min(top_k, a)
-    anchor_best = jnp.max(scores, axis=-1)  # (A,) streaming reduce
-    _, anchor_sel = jax.lax.top_k(anchor_best, k_a)  # (k_a,)
-    sel_scores = scores[anchor_sel]  # (k_a, C) gather
-    k = min(top_k, k_a * c)
-    top_scores, top_idx = jax.lax.top_k(sel_scores.reshape(-1), k)
+    if two_stage is None:
+        two_stage = a * c >= 2_000_000
+    # Selection runs in the input dtype: a forced f32 cast costs ~14% at
+    # SSD-300 batch 1 (wider sort keys), and bf16 tie-collapse only permutes
+    # equal-scoring candidates — parity mode is f32 end to end regardless.
+    scores = class_scores
+    if two_stage:
+        k_a = min(top_k, a)
+        anchor_best = jnp.max(scores, axis=-1)  # (A,) streaming reduce
+        _, anchor_sel = jax.lax.top_k(anchor_best, k_a)  # (k_a,)
+        sel_scores = scores[anchor_sel]  # (k_a, C) gather
+        k = min(top_k, k_a * c)
+        top_scores, top_idx = jax.lax.top_k(sel_scores.reshape(-1), k)
+        anchor_idx = anchor_sel[top_idx // c]
+    else:
+        k = min(top_k, a * c)
+        top_scores, top_idx = jax.lax.top_k(scores.reshape(-1), k)
+        anchor_idx = top_idx // c
     if activation is not None:
         top_scores = activation(top_scores)
-    anchor_idx = anchor_sel[top_idx // c]
     class_idx = (top_idx % c).astype(jnp.int32)
     return (
         boxes_xyxy[anchor_idx],

@@ -222,11 +222,12 @@ def test_two_stage_selection_equals_flat_topk(rng):
     """The two-stage (anchor-max -> pair) selection must return exactly the
     flat top-k pair set (scores identical; pairs consistent)."""
     for a, c, k in [(500, 7, 64), (100, 3, 300), (40, 5, 1000)]:
+      for two_stage in (True, False):
         boxes, _ = _random_candidates(rng, a)
         scores = rng.uniform(0, 1, size=(a, c)).astype(np.float32)
         bx, sc, cl, ok = N.select_top_candidates(
             jnp.asarray(boxes), jnp.asarray(scores),
-            score_threshold=0.5, top_k=k)
+            score_threshold=0.5, top_k=k, two_stage=two_stage)
         kk = min(k, a * c)
         flat_sorted = np.sort(scores.reshape(-1))[::-1][:kk]
         np.testing.assert_allclose(np.asarray(sc), flat_sorted, atol=1e-6)
