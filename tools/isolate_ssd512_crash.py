@@ -2,6 +2,12 @@
 TPU worker ("kernel fault"; see STATUS.md). Each variant runs in its own
 subprocess so a crash doesn't take the driver down.
 
+HISTORICAL (2026-08-17): the culprit was `jax.lax.approx_max_k` in the bf16
+program at exactly batch 8. Candidate selection has since moved to an exact
+two-stage top_k (ops/nms.py) that never emits approx_max_k, so the crash is
+unreachable and this tool's approx-related variants now all take the same
+code path. Kept for provenance and as a template for future triage.
+
     python tools/isolate_ssd512_crash.py            # run all variants
     python tools/isolate_ssd512_crash.py --one V    # internal: one variant
 """
