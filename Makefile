@@ -1,5 +1,5 @@
 # Common workflows
-.PHONY: test bench bench-train demo lint
+.PHONY: test bench bench-train bench-matrix demo serving export native lint
 
 test:
 	python -m pytest tests/ -q
@@ -10,8 +10,22 @@ bench:
 bench-train:
 	python bench_train.py
 
+bench-matrix:
+	python tools/bench_matrix.py --batches 1,8
+
 demo:
 	python examples/demo.py --steps 150
+
+serving:
+	python examples/serving_quickstart.py
+
+export:
+	python tools/export_model.py --config config2_retinanet_r50_infer \
+		--quantize --dtype bfloat16 --out /tmp/r50.sbdx
+
+# rebuild the native AP matcher (csrc/libap_matcher.so)
+native:
+	g++ -O3 -shared -fPIC -o csrc/libap_matcher.so csrc/ap_matcher.cpp
 
 # wiring check without executing anything heavy
 lint:
