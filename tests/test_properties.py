@@ -61,3 +61,40 @@ def test_shape_similarity_range_and_self(boxes):
     sim = np.asarray(B.shape_similarity(c, c))
     assert (sim > 0).all() and (sim <= 1 + 1e-6).all()
     np.testing.assert_allclose(np.diag(sim), 1.0, atol=1e-5)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(5, 60), st.integers(2, 9), st.integers(1, 80),
+       st.integers(0, 10_000))
+def test_selection_strategies_agree(a, c, k, seed):
+    """Two-stage and flat candidate selection return the same top-k score
+    multiset for arbitrary shapes (the exactness theorem, property-tested)."""
+    rng = np.random.default_rng(seed)
+    boxes = np.concatenate([rng.uniform(0.1, 0.5, (a, 2)),
+                            rng.uniform(0.5, 0.9, (a, 2))], 1).astype(np.float32)
+    scores = rng.uniform(0, 1, (a, c)).astype(np.float32)
+    out = {}
+    for two_stage in (True, False):
+        _, sc, cl, ok = N.select_top_candidates(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            score_threshold=0.3, top_k=k, two_stage=two_stage)
+        out[two_stage] = (np.asarray(sc), np.asarray(ok))
+    np.testing.assert_allclose(out[True][0], out[False][0], atol=1e-6)
+    np.testing.assert_array_equal(out[True][1], out[False][1])
+
+
+@settings(**_SETTINGS)
+@given(_boxes_strategy(12), st.integers(0, 10_000))
+def test_soft_nms_scores_monotone_decayed(boxes, seed):
+    """Soft-NMS never raises a score: every returned score <= the candidate's
+    original, and the selected sequence is non-increasing."""
+    rng = np.random.default_rng(seed)
+    scores = rng.uniform(0.1, 1.0, (len(boxes),)).astype(np.float32)
+    res = N.soft_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                     jnp.ones(len(boxes), bool), sigma=0.5,
+                     score_threshold=0.01, max_detections=len(boxes))
+    ok = np.asarray(res.valid)
+    sc = np.asarray(res.scores)[ok]
+    idx = np.asarray(res.indices)[ok]
+    assert (sc <= scores[idx] + 1e-6).all()
+    assert (np.diff(sc) <= 1e-6).all()
