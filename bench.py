@@ -21,8 +21,12 @@ BATCH = 8
 SIZE = 512
 
 
-def measure_torch_baseline() -> float:
-    """images/sec of the torch-CPU golden RetinaNet R50 at 512px, batch 1."""
+def measure_torch_baseline() -> dict:
+    """images/sec of the torch-CPU golden RetinaNet R50 at 512px.
+
+    Both batch-1 (latency accounting) and batch-8 (the accounting the TPU
+    side uses) are measured, each over >= 20 images, so the headline ratio
+    does not rest on a 3-iteration sample (VERDICT r1 weak #5)."""
     import numpy as np
     import torch
 
@@ -33,35 +37,39 @@ def measure_torch_baseline() -> float:
 
     torch.set_num_threads(os.cpu_count() or 1)
     model = TorchRetinaNet(variant="resnet50", num_classes=80).eval()
-    x = torch.from_numpy(
-        np.random.default_rng(0).uniform(-1, 1, (1, 3, SIZE, SIZE)).astype("float32")
-    )
-    with torch.no_grad():
-        model(x)  # warmup
-        n = 3
-        t0 = time.perf_counter()
-        for _ in range(n):
-            model(x)
-        dt = (time.perf_counter() - t0) / n
-    return 1.0 / dt
+    rng = np.random.default_rng(0)
+
+    def run(batch: int, iters: int) -> float:
+        x = torch.from_numpy(
+            rng.uniform(-1, 1, (batch, 3, SIZE, SIZE)).astype("float32"))
+        with torch.no_grad():
+            model(x)  # warmup
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                model(x)
+            dt = (time.perf_counter() - t0) / iters
+        return batch / dt
+
+    return {
+        "torch_cpu_retinanet_r50_512_images_per_sec": run(1, 20),
+        "torch_cpu_retinanet_r50_512_b8_images_per_sec": run(8, 4),
+    }
 
 
-def get_baseline() -> float:
+def get_baseline() -> dict:
     if os.path.exists(CACHE):
         with open(CACHE) as f:
-            return json.load(f)["torch_cpu_retinanet_r50_512_images_per_sec"]
-    ips = measure_torch_baseline()
+            d = json.load(f)
+        if "torch_cpu_retinanet_r50_512_b8_images_per_sec" in d:
+            return d
+    d = measure_torch_baseline()
+    d["note"] = ("torch-CPU golden RetinaNet R50-FPN, 512px, this host; "
+                 "b1 over 20 iters, b8 over 4 iters (32 images); the "
+                 "PyTorch-CPU reference stand-in (reference repo mount was "
+                 "empty — SURVEY.md §0)")
     with open(CACHE, "w") as f:
-        json.dump(
-            {
-                "torch_cpu_retinanet_r50_512_images_per_sec": ips,
-                "note": "torch-CPU golden RetinaNet R50-FPN, 512px, batch 1, "
-                        "this host; the PyTorch-CPU reference stand-in "
-                        "(reference repo mount was empty — SURVEY.md §0)",
-            },
-            f, indent=2,
-        )
-    return ips
+        json.dump(d, f, indent=2)
+    return d
 
 
 def main() -> None:
@@ -77,7 +85,9 @@ def main() -> None:
     from shape_based_object_detection_tpu.models.factory import build_model
     from shape_based_object_detection_tpu.detection import make_detect_fn
 
-    baseline_ips = get_baseline()
+    baseline = get_baseline()
+    baseline_ips = baseline["torch_cpu_retinanet_r50_512_images_per_sec"]
+    baseline_b8 = baseline["torch_cpu_retinanet_r50_512_b8_images_per_sec"]
 
     cfg = config_lib.get_config("config2_retinanet_r50_infer")
     model_cfg = dataclasses.replace(cfg.model, dtype="bfloat16")
@@ -120,7 +130,10 @@ def main() -> None:
         "metric": "retinanet_r50_fpn_512px_infer_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec",
-        "vs_baseline": round(ips / baseline_ips, 2),
+        # conservative accounting: TPU b8 throughput vs the torch golden's
+        # BEST accounting (its b8 throughput beats its b1); the b1-vs-b1
+        # ratio is strictly larger
+        "vs_baseline": round(ips / max(baseline_ips, baseline_b8), 2),
     }))
 
 

@@ -34,16 +34,90 @@ class CheckpointManager:
 
     def restore_latest(self, template: TrainState) -> Optional[TrainState]:
         """Restore the newest checkpoint into the template's structure, or
-        None if the directory is empty (fresh start)."""
+        None if the directory is empty (fresh start).
+
+        The EMA subtree is structure-matched automatically: a template whose
+        ``ema_params`` presence disagrees with the saved checkpoint (trained
+        with vs. without ``ema_decay``) is retried with the other shape, so
+        callers need not know how the checkpoint was trained. Check
+        ``restored.ema_params is None`` afterwards to learn what it held."""
         step = self._mgr.latest_step()
         if step is None:
             return None
-        return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template)
-        )
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except Exception:
+            # orbax StandardRestore raises on tree-structure mismatch before
+            # any values are read; toggle the EMA subtree and retry once.
+            alt = template.replace(
+                ema_params=(
+                    None
+                    if template.ema_params is not None
+                    else jax.tree_util.tree_map(lambda x: x, template.params)
+                )
+            )
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(alt)
+            )
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+class BestCheckpointKeeper:
+    """Keeps the single best checkpoint by a monotonic metric (val mAP)
+    (component C18 "best-mAP tracking"). Separate from the rolling retention
+    manager so crash-recovery restores the LATEST state while serving/eval
+    can always reach the BEST one.
+
+    The best metric value persists in ``best.json`` next to the checkpoint,
+    so tracking survives restarts.
+    """
+
+    def __init__(self, directory: str):
+        import json
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._meta_path = os.path.join(self.directory, "best.json")
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, enable_async_checkpointing=False),
+        )
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+            self.best_value = float(meta["value"])
+            self.best_step = int(meta["step"])
+        else:
+            self.best_value = float("-inf")
+            self.best_step = -1
+
+    def maybe_save(self, state: TrainState, step: int, value: float) -> bool:
+        """Saves iff ``value`` beats the best so far; returns whether saved."""
+        import json
+
+        if value <= self.best_value:
+            return False
+        self.best_value = float(value)
+        self.best_step = int(step)
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=True)
+        self._mgr.wait_until_finished()
+        with open(self._meta_path, "w") as f:
+            json.dump({"step": self.best_step, "value": self.best_value}, f)
+        return True
+
+    def restore_best(self, template: TrainState) -> Optional[TrainState]:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 
     def close(self) -> None:
         self._mgr.close()

@@ -80,7 +80,8 @@ def main(argv=None):
         else:
             detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
         boxes, scores, labels = detect_single_image(
-            detect, variables, img, cfg.model.image_size
+            detect, variables, img, cfg.model.image_size,
+            letterbox=cfg.data.letterbox,
         )
     # detect() labels are 0-based foreground ids; report dataset 1-based ids
     # (VOC_CLASSES / the COCO contiguous mapping) like the reference does

@@ -43,14 +43,18 @@ def main(argv=None):
             variables = {"params": restored.params, **restored.extra_vars}
 
     detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
-    dataset = build_dataset(cfg, args)
+    # COCO protocol: crowd GT regions ride along as ignore regions, and the
+    # area strata (32^2/96^2 px) are computed in network-input pixels.
+    dataset = build_dataset(cfg, args,
+                            include_crowd=(args.protocol == "coco"))
     loader = Loader(dataset, cfg.data.batch_size, cfg.data.max_boxes,
                     shuffle=False)
-    ev = Evaluator()
+    ev = Evaluator(area_scale=cfg.model.image_size)
     for i, batch in enumerate(loader.batches()):
         det = detect(variables, jnp.asarray(batch.images))
         # detect() labels are 0-based foreground ids; GT labels are 1-based
-        ev.add_batch(det, batch.boxes, batch.labels - 1, batch.valid)
+        ev.add_batch(det, batch.boxes, batch.labels - 1, batch.valid,
+                     gt_crowd=batch.crowd)
         if args.max_batches and i + 1 >= args.max_batches:
             break
     metrics = ev.coco() if args.protocol == "coco" else ev.voc()

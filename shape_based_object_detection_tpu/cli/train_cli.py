@@ -8,21 +8,25 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 import jax
 import numpy as np
 
 
-def build_dataset(cfg, args):
+def build_dataset(cfg, args, include_crowd: bool = False):
     from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
     from shape_based_object_detection_tpu.data.voc import VOCDetection
     from shape_based_object_detection_tpu.data.coco import CocoDetection
 
     size = cfg.model.image_size
+    lb = cfg.data.letterbox
     if args.data_root and cfg.data.dataset == "voc":
-        return VOCDetection(args.data_root, split=args.split, image_size=size)
+        return VOCDetection(args.data_root, split=args.split, image_size=size,
+                            letterbox=lb)
     if args.data_root and cfg.data.dataset == "coco":
-        return CocoDetection(args.data_root, args.ann_file, image_size=size)
+        return CocoDetection(args.data_root, args.ann_file, image_size=size,
+                             letterbox=lb, include_crowd=include_crowd)
     return SyntheticDetection(size=size, num_images=max(64, cfg.data.batch_size * 4),
                               num_classes=cfg.model.num_classes)
 
@@ -51,7 +55,16 @@ def main(argv=None):
     p.add_argument("--tb-dir", default="",
                    help="write TensorBoard scalars (loss terms, lr, img/s)")
     p.add_argument("--eval-every", type=int, default=0,
-                   help="run VOC-mAP eval on the train stream every N steps")
+                   help="run VOC-mAP eval every N steps (on --val-root if "
+                        "given, else a sample of the train stream)")
+    p.add_argument("--val-root", default="",
+                   help="validation dataset root: enables val-split eval and "
+                        "best-mAP checkpoint tracking (kept under "
+                        "<checkpoint-dir>/best)")
+    p.add_argument("--val-ann-file", default="")
+    p.add_argument("--val-split", default="val")
+    p.add_argument("--val-batches", type=int, default=0,
+                   help="cap on val batches per eval (0 = the whole split)")
     p.add_argument("--workers", type=int, default=4,
                    help="data-loader worker threads (0 = serial)")
     p.add_argument("--ema-decay", type=float, default=-1.0,
@@ -109,14 +122,38 @@ def main(argv=None):
     eval_step = (train_lib.make_eval_step(module, anchors, cfg)
                  if args.eval_every else None)
 
+    # val-split eval + best-mAP tracking (component C18): a separate
+    # held-out loader and a single best checkpoint under <ckpt>/best
+    val_loader = None
+    best_keeper = None
+    if args.eval_every and args.val_root:
+        from shape_based_object_detection_tpu.checkpoint import (
+            BestCheckpointKeeper,
+        )
+
+        val_args = argparse.Namespace(
+            data_root=args.val_root, ann_file=args.val_ann_file or args.ann_file,
+            split=args.val_split)
+        val_dataset = build_dataset(cfg, val_args)
+        val_loader = Loader(val_dataset, cfg.data.batch_size,
+                            cfg.data.max_boxes, shuffle=False,
+                            workers=args.workers)
+        best_keeper = BestCheckpointKeeper(
+            os.path.join(cfg.train.checkpoint_dir, "best"))
+
     def run_eval(state):
         from shape_based_object_detection_tpu.eval import Evaluator
 
-        ev = Evaluator()
-        for i, b in enumerate(loader.batches()):
+        use_val = val_loader is not None
+        src = val_loader if use_val else loader
+        cap = args.val_batches if (use_val and args.val_batches) else (
+            0 if use_val else 5)
+        ev = Evaluator(area_scale=cfg.model.image_size)
+        for i, b in enumerate(src.batches()):
             det = eval_step(state, b.images)
-            ev.add_batch(det, b.boxes, b.labels - 1, b.valid)
-            if i >= 4:  # a few batches: progress signal, not a full eval
+            ev.add_batch(det, b.boxes, b.labels - 1, b.valid,
+                         gt_crowd=b.crowd)
+            if cap and i + 1 >= cap:
                 break
         return ev.voc()["mAP"]
 
@@ -132,8 +169,13 @@ def main(argv=None):
             if step % cfg.train.checkpoint_every == 0:
                 ckpt.save(state, step)
             if eval_step is not None and step % args.eval_every == 0:
-                print(f"step {step}  voc-mAP(train-sample)={run_eval(state):.4f}",
-                      flush=True)
+                val_map = run_eval(state)
+                which = "val" if val_loader is not None else "train-sample"
+                line = f"step {step}  voc-mAP({which})={val_map:.4f}"
+                if best_keeper is not None and best_keeper.maybe_save(
+                        state, step, val_map):
+                    line += "  [new best]"
+                print(line, flush=True)
             if step >= cfg.train.total_steps:
                 break
         epoch += 1

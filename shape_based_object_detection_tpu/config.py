@@ -107,6 +107,10 @@ class ModelConfig:
     # matmul/conv precision: "default" = fast MXU bf16 multiplies (production);
     # "highest" = true fp32 accumulate+multiply (torch-parity mode).
     precision: str = "default"
+    # Update backbone BatchNorm statistics during training (config #4
+    # from-scratch COCO training). False = frozen running stats, the standard
+    # fine-tuning mode; eval/detect always use running stats either way.
+    train_bn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,6 +121,12 @@ class DataConfig:
     root: str = ""
     max_boxes: int = 100  # fixed padding for static shapes
     batch_size: int = 8
+    # Aspect-preserving letterbox resize (pad bottom/right) instead of the
+    # family-default square resize (BASELINE.json:6 names letterbox in the
+    # mandated preprocessing). Applies uniformly to train/eval/serving; box
+    # coordinates are normalized to the canvas and mapped back via
+    # ops.boxes.boxes_to_original(letterboxed=True).
+    letterbox: bool = False
     # On-device augmentation toggles (component C4)
     hflip: bool = True
     photometric: bool = True

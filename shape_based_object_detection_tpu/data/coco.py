@@ -27,34 +27,50 @@ class CocoAnnotations:
         self.cat_id_to_label = {c["id"]: i + 1 for i, c in enumerate(cats)}
         self.label_to_cat_id = {v: k for k, v in self.cat_id_to_label.items()}
         self.cat_names = {c["id"]: c["name"] for c in cats}
+        # crowd annotations are KEPT (flagged): the COCO eval protocol uses
+        # them as ignore regions; training filters them out downstream.
         self.anns_by_image: Dict[int, List[dict]] = {}
         for ann in data.get("annotations", []):
-            if ann.get("iscrowd", 0):
-                continue
             self.anns_by_image.setdefault(ann["image_id"], []).append(ann)
 
-    def boxes_for_image(self, image_id: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (boxes_px xyxy (G,4), labels (G,) contiguous 1-based)."""
+    def boxes_for_image(self, image_id: int, include_crowd: bool = False
+                        ) -> Tuple[np.ndarray, ...]:
+        """Returns (boxes_px xyxy (G,4), labels (G,) contiguous 1-based)
+        without crowds, or with ``include_crowd=True`` the 3-tuple
+        (boxes, labels, crowd (G,) bool) keeping crowd regions flagged."""
         anns = self.anns_by_image.get(image_id, [])
-        boxes, labels = [], []
+        boxes, labels, crowd = [], [], []
         for a in anns:
+            is_crowd = bool(a.get("iscrowd", 0))
+            if is_crowd and not include_crowd:
+                continue
             x, y, w, h = a["bbox"]  # COCO xywh
             if w <= 0 or h <= 0:
                 continue
             boxes.append([x, y, x + w, y + h])
             labels.append(self.cat_id_to_label[a["category_id"]])
-        return (
+            crowd.append(is_crowd)
+        out = (
             np.asarray(boxes, np.float32).reshape(-1, 4),
             np.asarray(labels, np.int32),
         )
+        if include_crowd:
+            return out + (np.asarray(crowd, bool),)
+        return out
 
 
 class CocoDetection:
-    """Indexable dataset of (image_u8 (S,S,3), boxes_norm (G,4), labels (G,))."""
+    """Indexable dataset of (image_u8 (S,S,3), boxes_norm (G,4), labels (G,)).
 
-    def __init__(self, root: str, ann_file: str, image_size: int = 512):
+    ``include_crowd=True`` (eval protocol) appends a (G,) bool crowd flag to
+    each sample; training leaves it False so crowds never become positives."""
+
+    def __init__(self, root: str, ann_file: str, image_size: int = 512,
+                 letterbox: bool = False, include_crowd: bool = False):
         self.root = root
         self.image_size = image_size
+        self.letterbox = letterbox
+        self.include_crowd = include_crowd
         self.coco = CocoAnnotations(ann_file)
         # keep only images that exist on disk (partial mounts are common)
         self.images = [
@@ -66,16 +82,25 @@ class CocoDetection:
         return len(self.images)
 
     def __getitem__(self, i: int):
-        from shape_based_object_detection_tpu.utils.image import decode_image_host
+        from shape_based_object_detection_tpu.utils.image import (
+            boxes_px_to_input_norm, decode_image_host, letterbox_image_host,
+        )
         from PIL import Image
 
         im = self.images[i]
         img = decode_image_host(os.path.join(self.root, im["file_name"]))
         h, w = im["height"], im["width"]
-        boxes_px, labels = self.coco.boxes_for_image(im["id"])
-        boxes = boxes_px / np.array([w, h, w, h], np.float32)
+        ann = self.coco.boxes_for_image(im["id"],
+                                        include_crowd=self.include_crowd)
+        boxes_px, labels = ann[0], ann[1]
+        boxes = boxes_px_to_input_norm(boxes_px, h, w, self.letterbox)
         s = self.image_size
-        img = np.asarray(
-            Image.fromarray(img).resize((s, s), Image.BILINEAR), np.uint8
-        )
+        if self.letterbox:
+            img = letterbox_image_host(img, s)
+        else:
+            img = np.asarray(
+                Image.fromarray(img).resize((s, s), Image.BILINEAR), np.uint8
+            )
+        if self.include_crowd:
+            return img, np.clip(boxes, 0.0, 1.0), labels, ann[2]
         return img, np.clip(boxes, 0.0, 1.0), labels

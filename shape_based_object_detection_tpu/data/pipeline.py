@@ -24,6 +24,9 @@ class DetectionBatch(NamedTuple):
     boxes: np.ndarray  # (B, G, 4) float32, normalized xyxy
     labels: np.ndarray  # (B, G) int32, 1-based foreground classes
     valid: np.ndarray  # (B, G) bool
+    # (B, G) bool: crowd/ignore GT regions (eval protocol; all-False unless
+    # the dataset yields crowd flags, e.g. CocoDetection(include_crowd=True))
+    crowd: Optional[np.ndarray] = None
 
 
 def pad_annotations(
@@ -101,9 +104,16 @@ class Loader:
         return idx[self.host_id :: self.num_hosts]
 
     def _sample(self, i):
-        img, boxes, labels = self.dataset[int(i)]
+        sample = self.dataset[int(i)]
+        img, boxes, labels = sample[:3]
         b, l, v = pad_annotations(boxes, labels, self.max_boxes)
-        return img, b, l, v
+        if len(sample) > 3:  # optional per-box crowd flags (eval protocol)
+            cr = np.zeros((self.max_boxes,), bool)
+            g = min(len(sample[3]), self.max_boxes)
+            cr[:g] = np.asarray(sample[3], bool)[:g]
+        else:
+            cr = np.zeros((self.max_boxes,), bool)
+        return img, b, l, v, cr
 
     def batches(self, epoch: int = 0) -> Iterator[DetectionBatch]:
         idx = self._epoch_indices(epoch)
@@ -114,12 +124,13 @@ class Loader:
                 samples = list(self._pool.map(self._sample, chunk))
             else:
                 samples = [self._sample(i) for i in chunk]
-            imgs, bxs, lbs, vds = zip(*samples)
+            imgs, bxs, lbs, vds, crs = zip(*samples)
             yield DetectionBatch(
                 images=np.stack(imgs),
                 boxes=np.stack(bxs),
                 labels=np.stack(lbs),
                 valid=np.stack(vds),
+                crowd=np.stack(crs),
             )
 
     def device_batches(

@@ -57,10 +57,12 @@ class VOCDetection:
 
     def __init__(self, root: str, split: str = "train", image_size: int = 300,
                  keep_difficult: bool = False,
-                 ids: Sequence[str] | None = None):
+                 ids: Sequence[str] | None = None,
+                 letterbox: bool = False):
         self.root = root
         self.image_size = image_size
         self.keep_difficult = keep_difficult
+        self.letterbox = letterbox
         if ids is not None:
             self.ids: List[str] = list(ids)
         else:
@@ -72,7 +74,9 @@ class VOCDetection:
         return len(self.ids)
 
     def __getitem__(self, i: int):
-        from shape_based_object_detection_tpu.utils.image import decode_image_host
+        from shape_based_object_detection_tpu.utils.image import (
+            boxes_px_to_input_norm, decode_image_host, letterbox_image_host,
+        )
         from PIL import Image
 
         img_id = self.ids[i]
@@ -81,9 +85,12 @@ class VOCDetection:
             os.path.join(self.root, "Annotations", f"{img_id}.xml"),
             self.keep_difficult,
         )
-        boxes = boxes_px / np.array([w, h, w, h], np.float32)
+        boxes = boxes_px_to_input_norm(boxes_px, h, w, self.letterbox)
         s = self.image_size
-        img = np.asarray(
-            Image.fromarray(img).resize((s, s), Image.BILINEAR), np.uint8
-        )
+        if self.letterbox:
+            img = letterbox_image_host(img, s)
+        else:
+            img = np.asarray(
+                Image.fromarray(img).resize((s, s), Image.BILINEAR), np.uint8
+            )
         return img, boxes, labels

@@ -124,12 +124,13 @@ def make_detect_fn(module, anchors_cxcywh: jnp.ndarray, cfg: ModelConfig,
     return detect
 
 
-def detect_single_image(detect_fn, params, image_np, image_size: int
-                        ) -> Tuple:
+def detect_single_image(detect_fn, params, image_np, image_size: int,
+                        letterbox: bool = False) -> Tuple:
     """Convenience host wrapper: arbitrary (H, W, 3) uint8 numpy image ->
     (boxes_px, scores, labels) in original pixel coordinates.
 
     Host work is resize-to-static-shape only (one shape -> one compile).
+    ``letterbox=True`` uses the aspect-preserving pad-bottom/right path.
     """
     import numpy as np
 
@@ -138,11 +139,18 @@ def detect_single_image(detect_fn, params, image_np, image_size: int
     # by every serving path, so --config and --artifact detections agree).
     from PIL import Image
 
-    img = Image.fromarray(image_np).resize((image_size, image_size),
-                                           Image.BILINEAR)
-    batch = np.asarray(img, dtype=np.uint8)[None]
+    from shape_based_object_detection_tpu.utils.image import (
+        boxes_norm_to_original_px, letterbox_image_host,
+    )
+
+    if letterbox:
+        batch = letterbox_image_host(image_np, image_size)[None]
+    else:
+        img = Image.fromarray(image_np).resize((image_size, image_size),
+                                               Image.BILINEAR)
+        batch = np.asarray(img, dtype=np.uint8)[None]
     det = detect_fn(params, jnp.asarray(batch))
     valid = np.asarray(det.valid[0])
-    boxes = np.asarray(det.boxes[0])[valid]
-    boxes = boxes * np.array([w, h, w, h], np.float32)
+    boxes = boxes_norm_to_original_px(
+        np.asarray(det.boxes[0])[valid], h, w, letterbox)
     return boxes, np.asarray(det.scores[0])[valid], np.asarray(det.labels[0])[valid]

@@ -1,27 +1,42 @@
 """Average-precision evaluation (component C19, SURVEY.md §2).
 
 pycocotools is not installed in this environment (SURVEY.md §7), so this is a
-first-party vectorized numpy implementation of:
+first-party vectorized numpy implementation of the COCOeval 'bbox' protocol:
 
 - COCO-style AP: greedy score-ordered matching per class at IoU thresholds
   .50:.05:.95, 101-point interpolated precision, mean over thresholds and
-  classes (the COCOeval 'bbox' protocol, minus crowd/area handling which the
-  reference pipeline also doesn't exercise; area-stratified AP is provided).
+  classes; crowd GT act as ignore regions (a detection matched to a crowd is
+  neither TP nor FP, and crowd IoU is intersection / det-area); AP is also
+  reported area-stratified (APsmall/APmedium/APlarge) and average recall at
+  1/10/100 detections per image (AR1/AR10/AR100).
 - VOC-style AP: 11-point interpolated (VOC2007) or continuous (VOC2010+) at
   IoU 0.5.
 
 Inputs are plain numpy per-image records, so the device produces padded
 Detections, the host strips padding via the validity mask and accumulates.
+The per-class greedy matching loop — the host-side hot spot at COCO scale —
+has a native C++ fast path (csrc/ap_matcher.cpp, identical semantics,
+cross-checked in tests/test_native_ap.py).
+
+Area thresholds follow COCO (32^2 / 96^2 in pixels): pass ``area_scale`` (the
+network input size) when boxes are in normalized [0,1] coordinates so areas
+compare in input-pixel units.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 COCO_IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+# COCO area strata in pixel^2: (name, lo, hi)
+COCO_AREA_RANGES = (
+    ("small", 0.0, 32.0 ** 2),
+    ("medium", 32.0 ** 2, 96.0 ** 2),
+    ("large", 96.0 ** 2, 1e10),
+)
 
 
 @dataclasses.dataclass
@@ -37,9 +52,13 @@ class GroundTruthRecord:
     image_id: int
     boxes: np.ndarray  # (G, 4) xyxy
     labels: np.ndarray  # (G,) int
+    crowd: Optional[np.ndarray] = None  # (G,) bool; None = no crowd regions
 
 
-def _iou_matrix_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _iou_matrix_np(a: np.ndarray, b: np.ndarray,
+                   b_crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """Pairwise IoU; columns flagged in b_crowd use intersection / area(a)
+    (the pycocotools crowd convention — a crowd covers the detection)."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)), np.float32)
     lt = np.maximum(a[:, None, :2], b[None, :, :2])
@@ -48,89 +67,171 @@ def _iou_matrix_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     inter = wh[..., 0] * wh[..., 1]
     area_a = np.clip(a[:, 2] - a[:, 0], 0, None) * np.clip(a[:, 3] - a[:, 1], 0, None)
     area_b = np.clip(b[:, 2] - b[:, 0], 0, None) * np.clip(b[:, 3] - b[:, 1], 0, None)
-    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+    union = area_a[:, None] + area_b[None, :] - inter
+    if b_crowd is not None and b_crowd.any():
+        union = np.where(b_crowd[None, :], area_a[:, None], union)
+    return inter / np.maximum(union, 1e-9)
+
+
+def _box_areas(boxes: np.ndarray) -> np.ndarray:
+    return (np.clip(boxes[:, 2] - boxes[:, 0], 0, None)
+            * np.clip(boxes[:, 3] - boxes[:, 1], 0, None))
 
 
 def _match_class(
     dets: List[Tuple[int, np.ndarray, float]],  # (image_id, box, score)
     gts: Dict[int, np.ndarray],  # image_id -> (G, 4)
     iou_thresholds: np.ndarray,
-) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Greedy matching for one class. Returns (tp (T, N), scores (N,), n_gt).
+    crowd: Optional[Dict[int, np.ndarray]] = None,  # image_id -> (G,) bool
+    area_range: Optional[Tuple[float, float]] = None,  # in box-area units
+    max_det: Optional[int] = None,  # per image (per class)
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """COCOeval-protocol greedy matching for one class.
 
-    tp[t, i] = 1 if detection i (score-sorted) matches an unclaimed GT at
-    threshold iou_thresholds[t].
+    Returns (tp (T, N), ignore (T, N), scores (N,), n_gt) with detections
+    score-sorted descending. A GT is *ignored* if crowd or out of
+    ``area_range``; ignored GTs don't count in n_gt, and a detection matched
+    to one is excluded from both TP and FP (ignore[t, i]=1). An unmatched
+    detection outside ``area_range`` is likewise ignored. Greedy order and
+    tie-breaking mirror pycocotools: per detection (score order), scan GTs
+    non-ignored-first, claimed non-crowd GTs skipped, best-IoU wins with
+    ties going to the later GT, and the scan stops at the first ignored GT
+    once a non-ignored match is held.
     """
-    n_gt = sum(len(v) for v in gts.values())
+    # per-image GT state
+    gt_state = {}
+    n_gt = 0
+    for img, boxes in gts.items():
+        boxes = np.asarray(boxes, np.float32)
+        cr = (np.asarray(crowd[img], bool)
+              if crowd is not None and img in crowd and crowd[img] is not None
+              else np.zeros(len(boxes), bool))
+        gig = cr.copy()
+        if area_range is not None:
+            a = _box_areas(boxes)
+            gig |= (a < area_range[0]) | (a > area_range[1])
+        n_gt += int((~gig).sum())
+        # scan order: non-ignored GTs first (stable within groups)
+        order = np.argsort(gig, kind="stable")
+        gt_state[img] = (boxes, cr, gig, order)
+
     if not dets:
-        return np.zeros((len(iou_thresholds), 0)), np.zeros(0), n_gt
+        t = len(iou_thresholds)
+        return (np.zeros((t, 0), np.float32), np.zeros((t, 0), bool),
+                np.zeros(0), n_gt)
+
     dets = sorted(dets, key=lambda d: -d[2])
+    if max_det is not None:
+        seen: Dict[int, int] = {}
+        kept = []
+        for d in dets:
+            c = seen.get(d[0], 0)
+            if c < max_det:
+                kept.append(d)
+                seen[d[0]] = c + 1
+        dets = kept
     scores = np.asarray([d[2] for d in dets])
     n = len(dets)
     t_count = len(iou_thresholds)
+    thr_arr = np.asarray(iou_thresholds, np.float32)
 
     # native C++ fast path (csrc/ap_matcher.cpp); identical semantics
     from shape_based_object_detection_tpu.utils.native import match_class_native
 
-    if n_gt:
+    if gt_state:
         gt_img_ids = np.concatenate(
-            [np.full(len(b), img, np.int32) for img, b in gts.items()])
-        gt_flat = (np.concatenate([np.asarray(b) for b in gts.values()])
-                   if gts else np.zeros((0, 4), np.float32))
+            [np.full(len(s[0]), img, np.int32) for img, s in gt_state.items()])
+        gt_flat = np.concatenate([s[0] for s in gt_state.values()]).astype(
+            np.float32).reshape(-1, 4)
+        gt_crowd_flat = np.concatenate(
+            [s[1] for s in gt_state.values()]).astype(np.uint8)
+        gt_ignore_flat = np.concatenate(
+            [s[2] for s in gt_state.values()]).astype(np.uint8)
         det_boxes = np.stack([d[1] for d in dets]).astype(np.float32)
         det_imgs = np.asarray([d[0] for d in dets], np.int32)
-        tp_native = match_class_native(
-            det_boxes, det_imgs, gt_flat.astype(np.float32), gt_img_ids,
-            np.asarray(iou_thresholds, np.float32))
-        if tp_native is not None:
-            return tp_native.astype(np.float32), scores, n_gt
+        if area_range is not None:
+            da = _box_areas(det_boxes)
+            det_oob = ((da < area_range[0]) | (da > area_range[1])).astype(
+                np.uint8)
+        else:
+            det_oob = np.zeros(n, np.uint8)
+        native = match_class_native(
+            det_boxes, det_imgs, det_oob, gt_flat, gt_img_ids,
+            gt_crowd_flat, gt_ignore_flat, thr_arr)
+        if native is not None:
+            tp_n, ig_n = native
+            return tp_n.astype(np.float32), ig_n.astype(bool), scores, n_gt
 
     tp = np.zeros((t_count, n), np.float32)
-
-    # per-image IoU between that image's (sorted) dets and its GT
+    ig = np.zeros((t_count, n), bool)
     claimed = {
-        img: np.zeros((t_count, len(boxes)), bool) for img, boxes in gts.items()
+        img: np.zeros((t_count, len(s[0])), bool) for img, s in gt_state.items()
     }
     for i, (img, box, _) in enumerate(dets):
-        gt_boxes = gts.get(img)
-        if gt_boxes is None or len(gt_boxes) == 0:
+        box = np.asarray(box, np.float32)
+        if area_range is not None:
+            a = float(_box_areas(box[None])[0])
+            det_oob_i = a < area_range[0] or a > area_range[1]
+        else:
+            det_oob_i = False
+        state = gt_state.get(img)
+        if state is None or len(state[0]) == 0:
+            ig[:, i] = det_oob_i
             continue
-        ious = _iou_matrix_np(box[None], gt_boxes)[0]
-        order = np.argsort(-ious)
+        gt_boxes, cr, gig, order = state
+        ious = _iou_matrix_np(box[None], gt_boxes, cr)[0]
         for t in range(t_count):
-            thr = iou_thresholds[t]
+            thr = thr_arr[t]
+            best = -1
+            best_iou = float(thr)
             for g in order:
-                if ious[g] < thr:
-                    break
-                if not claimed[img][t, g]:
-                    claimed[img][t, g] = True
+                if claimed[img][t, g] and not cr[g]:
+                    continue
+                if best > -1 and not gig[best] and gig[g]:
+                    break  # holding a real match; only ignored GTs remain
+                if ious[g] < best_iou:
+                    continue
+                best_iou = float(ious[g])
+                best = int(g)
+            if best >= 0:
+                claimed[img][t, best] = True
+                if gig[best]:
+                    ig[t, i] = True
+                else:
                     tp[t, i] = 1.0
-                    break
-    return tp, scores, n_gt
+            else:
+                ig[t, i] = det_oob_i
+    return tp, ig, scores, n_gt
 
 
-def _ap_from_tp(tp: np.ndarray, n_gt: int, interpolation: str) -> np.ndarray:
-    """tp: (T, N) score-sorted hits -> (T,) AP values."""
+def _ap_from_tp(tp: np.ndarray, n_gt: int, interpolation: str,
+                ig: Optional[np.ndarray] = None) -> np.ndarray:
+    """tp: (T, N) score-sorted hits -> (T,) AP values. ``ig`` marks
+    detections excluded from both TP and FP (crowd / out-of-area matches)."""
     t_count, n = tp.shape
     if n_gt == 0:
         return np.full((t_count,), np.nan)
     if n == 0:
         return np.zeros((t_count,))
-    cum_tp = np.cumsum(tp, axis=1)
-    cum_fp = np.cumsum(1.0 - tp, axis=1)
-    recall = cum_tp / n_gt
-    precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
-
     aps = np.zeros((t_count,))
     for t in range(t_count):
-        p, r = precision[t], recall[t]
+        tp_t = tp[t] if ig is None else tp[t][~ig[t]]
+        if len(tp_t) == 0:
+            aps[t] = 0.0
+            continue
+        cum_tp = np.cumsum(tp_t)
+        cum_fp = np.cumsum(1.0 - tp_t)
+        recall = cum_tp / n_gt
+        p = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
+        r = recall
         # monotone precision envelope
         p_env = np.maximum.accumulate(p[::-1])[::-1]
         if interpolation == "101point":  # COCO
             grid = np.linspace(0, 1, 101)
             idx = np.searchsorted(r, grid, side="left")
-            p_at = np.where(idx < len(p_env), p_env[np.minimum(idx, len(p_env) - 1)], 0.0)
-            aps[t] = p_at.mean()
+            aps[t] = np.where(
+                idx < len(p_env), p_env[np.minimum(idx, len(p_env) - 1)], 0.0
+            ).mean()
         elif interpolation == "11point":  # VOC2007
             grid = np.linspace(0, 1, 11)
             ap = 0.0
@@ -145,6 +246,19 @@ def _ap_from_tp(tp: np.ndarray, n_gt: int, interpolation: str) -> np.ndarray:
     return aps
 
 
+def _recall_from_tp(tp: np.ndarray, n_gt: int,
+                    ig: Optional[np.ndarray] = None) -> np.ndarray:
+    """(T,) recall at the end of the (non-ignored) detection list."""
+    t_count = tp.shape[0]
+    if n_gt == 0:
+        return np.full((t_count,), np.nan)
+    out = np.zeros((t_count,))
+    for t in range(t_count):
+        tp_t = tp[t] if ig is None else tp[t][~ig[t]]
+        out[t] = tp_t.sum() / n_gt
+    return out
+
+
 def _group_by_class(
     detections: Sequence[DetectionRecord],
     ground_truth: Sequence[GroundTruthRecord],
@@ -154,44 +268,103 @@ def _group_by_class(
         classes.update(np.unique(g.labels).tolist())
     dets_by_class: Dict[int, List] = {c: [] for c in classes}
     gts_by_class: Dict[int, Dict[int, np.ndarray]] = {c: {} for c in classes}
+    crowd_by_class: Dict[int, Dict[int, np.ndarray]] = {c: {} for c in classes}
     for d in detections:
         for box, score, label in zip(d.boxes, d.scores, d.labels):
             if int(label) in dets_by_class:
-                dets_by_class[int(label)].append((d.image_id, np.asarray(box), float(score)))
+                dets_by_class[int(label)].append(
+                    (d.image_id, np.asarray(box), float(score)))
     for g in ground_truth:
+        cr = (np.asarray(g.crowd, bool) if g.crowd is not None
+              else np.zeros(len(g.labels), bool))
         for c in classes:
             m = g.labels == c
             if m.any():
                 gts_by_class[c][g.image_id] = np.asarray(g.boxes)[m]
-    return sorted(classes), dets_by_class, gts_by_class
+                crowd_by_class[c][g.image_id] = cr[m]
+    return sorted(classes), dets_by_class, gts_by_class, crowd_by_class
 
 
 def coco_map(
     detections: Sequence[DetectionRecord],
     ground_truth: Sequence[GroundTruthRecord],
+    area_scale: float = 1.0,
+    max_dets: Tuple[int, ...] = (1, 10, 100),
 ) -> Dict[str, float]:
-    """Returns {'mAP', 'AP50', 'AP75', per-class APs under 'per_class'}."""
-    classes, dets_by_class, gts_by_class = _group_by_class(detections, ground_truth)
-    per_class = {}
-    all_aps = []
+    """Full COCOeval-bbox metric suite.
+
+    Returns {'mAP', 'AP50', 'AP75', 'APsmall', 'APmedium', 'APlarge',
+    'AR1', 'AR10', 'AR100', 'per_class'}. ``area_scale`` converts box areas
+    to pixels for the 32^2/96^2 strata (pass the network input size when
+    boxes are normalized to [0, 1])."""
+    classes, dets_by_class, gts_by_class, crowd_by_class = _group_by_class(
+        detections, ground_truth)
+    s2 = float(area_scale) ** 2
+    # area ranges in the caller's box units
+    strata = [(name, lo / s2, hi / s2) for name, lo, hi in COCO_AREA_RANGES]
+    md_max = max(max_dets)
+
+    per_class: Dict[int, np.ndarray] = {}
+    all_aps, strat_aps = [], {name: [] for name, _, _ in strata}
+    recalls = {md: [] for md in max_dets}
     for c in classes:
-        tp, scores, n_gt = _match_class(
-            dets_by_class[c], gts_by_class[c], COCO_IOU_THRESHOLDS
-        )
-        aps = _ap_from_tp(tp, n_gt, "101point")
+        dets, gts, crs = dets_by_class[c], gts_by_class[c], crowd_by_class[c]
+        tp, ig, scores, n_gt = _match_class(
+            dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
+            area_range=(0.0, 1e10), max_det=md_max)
+        aps = _ap_from_tp(tp, n_gt, "101point", ig)
         per_class[c] = aps
         all_aps.append(aps)
+        recalls[md_max].append(_recall_from_tp(tp, n_gt, ig))
+        for md in max_dets:
+            if md == md_max:
+                continue
+            tp_m, ig_m, _, n_gt_m = _match_class(
+                dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
+                area_range=(0.0, 1e10), max_det=md)
+            recalls[md].append(_recall_from_tp(tp_m, n_gt_m, ig_m))
+        for name, lo, hi in strata:
+            tp_a, ig_a, _, n_gt_a = _match_class(
+                dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
+                area_range=(lo, hi), max_det=md_max)
+            strat_aps[name].append(_ap_from_tp(tp_a, n_gt_a, "101point", ig_a))
+
     if not all_aps:
-        return {"mAP": 0.0, "AP50": 0.0, "AP75": 0.0, "per_class": {}}
+        out = {"mAP": 0.0, "AP50": 0.0, "AP75": 0.0, "per_class": {}}
+        for name, _, _ in strata:
+            out[f"AP{name}"] = 0.0
+        for md in max_dets:
+            out[f"AR{md}"] = 0.0
+        return out
+
+    def _nanmean(arr, axis=None):
+        # NaN marks "no GT in this class/stratum" (pycocotools -1); an
+        # all-NaN slice stays NaN without numpy's empty-slice warning
+        arr = np.asarray(arr, float)
+        if np.isnan(arr).all():
+            return np.nan if axis is None else np.full(arr.shape[1 - axis]
+                                                       if arr.ndim == 2 else (),
+                                                       np.nan)
+        with np.errstate(invalid="ignore"):
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                return np.nanmean(arr, axis=axis)
+
     stacked = np.stack(all_aps)  # (C, T)
-    with np.errstate(invalid="ignore"):
-        mean_per_t = np.nanmean(stacked, axis=0)
-    return {
-        "mAP": float(np.nanmean(stacked)),
+    mean_per_t = _nanmean(stacked, axis=0)
+    out = {
+        "mAP": float(_nanmean(stacked)),
         "AP50": float(mean_per_t[0]),
         "AP75": float(mean_per_t[5]),
-        "per_class": {c: float(np.nanmean(a)) for c, a in per_class.items()},
     }
+    for name, _, _ in strata:
+        out[f"AP{name}"] = float(_nanmean(np.stack(strat_aps[name])))
+    for md in max_dets:
+        out[f"AR{md}"] = float(_nanmean(np.stack(recalls[md])))
+    out["per_class"] = {c: float(_nanmean(a)) for c, a in per_class.items()}
+    return out
 
 
 def voc_map(
@@ -200,13 +373,16 @@ def voc_map(
     iou_threshold: float = 0.5,
     use_11point: bool = True,
 ) -> Dict[str, float]:
-    classes, dets_by_class, gts_by_class = _group_by_class(detections, ground_truth)
+    classes, dets_by_class, gts_by_class, crowd_by_class = _group_by_class(
+        detections, ground_truth)
     per_class = {}
     for c in classes:
-        tp, scores, n_gt = _match_class(
-            dets_by_class[c], gts_by_class[c], np.asarray([iou_threshold])
+        tp, ig, scores, n_gt = _match_class(
+            dets_by_class[c], gts_by_class[c], np.asarray([iou_threshold]),
+            crowd=crowd_by_class[c],
         )
-        ap = _ap_from_tp(tp, n_gt, "11point" if use_11point else "continuous")[0]
+        ap = _ap_from_tp(tp, n_gt, "11point" if use_11point else "continuous",
+                         ig)[0]
         per_class[c] = float(ap) if np.isfinite(ap) else 0.0
     vals = [v for v in per_class.values()]
     return {
@@ -216,15 +392,21 @@ def voc_map(
 
 
 class Evaluator:
-    """Accumulates device Detections batches (padded + masked) into records."""
+    """Accumulates device Detections batches (padded + masked) into records.
 
-    def __init__(self):
+    ``area_scale`` (e.g. the network input size, for normalized boxes) feeds
+    the COCO area strata; leave 1.0 when boxes are already in pixels."""
+
+    def __init__(self, area_scale: float = 1.0):
         self.detections: List[DetectionRecord] = []
         self.ground_truth: List[GroundTruthRecord] = []
+        self.area_scale = area_scale
         self._next_id = 0
 
-    def add_batch(self, det, gt_boxes, gt_labels, gt_valid) -> None:
-        """det: ops.nms.Detections (device or numpy); gt_*: (B, G, ...)."""
+    def add_batch(self, det, gt_boxes, gt_labels, gt_valid,
+                  gt_crowd=None) -> None:
+        """det: ops.nms.Detections (device or numpy); gt_*: (B, G, ...).
+        ``gt_crowd`` (B, G) bool marks crowd/ignore GT regions."""
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)
@@ -232,6 +414,7 @@ class Evaluator:
         gt_boxes = np.asarray(gt_boxes)
         gt_labels = np.asarray(gt_labels)
         gt_valid = np.asarray(gt_valid)
+        gt_crowd = None if gt_crowd is None else np.asarray(gt_crowd)
         for b in range(boxes.shape[0]):
             img_id = self._next_id
             self._next_id += 1
@@ -241,11 +424,14 @@ class Evaluator:
             )
             gv = gt_valid[b]
             self.ground_truth.append(
-                GroundTruthRecord(img_id, gt_boxes[b][gv], gt_labels[b][gv])
+                GroundTruthRecord(
+                    img_id, gt_boxes[b][gv], gt_labels[b][gv],
+                    None if gt_crowd is None else gt_crowd[b][gv])
             )
 
     def coco(self) -> Dict[str, float]:
-        return coco_map(self.detections, self.ground_truth)
+        return coco_map(self.detections, self.ground_truth,
+                        area_scale=self.area_scale)
 
     def voc(self, iou_threshold: float = 0.5) -> Dict[str, float]:
         return voc_map(self.detections, self.ground_truth, iou_threshold)

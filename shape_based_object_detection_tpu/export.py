@@ -84,6 +84,9 @@ def export_detect(
         "platforms": list(platforms),
         "num_classes": cfg.num_classes,
         "quantized": quantize,
+        # serving-side prepare/unpack must match the preprocessing the
+        # weights were trained/evaluated with (ArtifactPredictor reads this)
+        "letterbox": bool(data_cfg.letterbox) if data_cfg else False,
         "outputs": ["boxes", "scores", "labels", "valid"],
     }).encode()
     buf = io.BytesIO()

@@ -6,8 +6,11 @@ taps for the FPN. NHWC, explicit padding matching a torch golden.
 
 BatchNorm is frozen by default (`train_bn=False`): detection fine-tuning
 freezes backbone BN statistics (standard practice, and it keeps train_step a
-pure function of params). With `train_bn=True` flax batch_stats are updated
-via the usual mutable collection.
+pure function of params). With `train_bn=True` AND a call-time `train=True`,
+BN normalizes with batch statistics and updates running stats through the
+mutable `batch_stats` collection (train.py threads this when
+ModelConfig.train_bn is set). Eval/detect call with train=False and always
+use running averages.
 """
 
 from __future__ import annotations
@@ -30,9 +33,10 @@ class Bottleneck(nn.Module):
     train_bn: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        use_batch_stats = train and self.train_bn
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not self.train_bn, momentum=0.9, epsilon=1e-5,
+            use_running_average=not use_batch_stats, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
         out_ch = self.channels * 4
@@ -65,13 +69,14 @@ class ResNet(nn.Module):
     train_bn: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         blocks = STAGE_BLOCKS[self.variant]
         w = lambda c: max(8, int(c * self.width_mult))
 
         x = nn.Conv(w(64), (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not self.train_bn, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not (train and self.train_bn),
+                         momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -83,6 +88,6 @@ class ResNet(nn.Module):
                 stride = 2 if (blk == 0 and stage > 0) else 1
                 x = Bottleneck(channels=ch, stride=stride, dtype=self.dtype,
                                train_bn=self.train_bn,
-                               name=f"layer{stage + 1}_{blk}")(x)
+                               name=f"layer{stage + 1}_{blk}")(x, train)
             taps.append(x)
         return taps[1], taps[2], taps[3]  # C3, C4, C5

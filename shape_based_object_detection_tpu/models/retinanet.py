@@ -54,19 +54,23 @@ class RetinaNet(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, images: jnp.ndarray,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """images: (B, H, W, 3) normalized. Returns (cls_logits (B,A,C),
-        box_offsets (B,A,4)) — sigmoid classification, no background class."""
+        box_offsets (B,A,4)) — sigmoid classification, no background class.
+        ``train=True`` with ``cfg.train_bn`` switches backbone BN to batch
+        statistics (mutable 'batch_stats'); otherwise a no-op."""
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         x = images.astype(dtype)
         with jax.default_matmul_precision(cfg.precision):
-            return self._forward(x, dtype)
+            return self._forward(x, dtype, train)
 
-    def _forward(self, x, dtype):
+    def _forward(self, x, dtype, train=False):
         cfg = self.cfg
         c3, c4, c5 = ResNet(variant=cfg.backbone, width_mult=cfg.width_mult,
-                            dtype=dtype, name="backbone")(x)
+                            dtype=dtype, train_bn=cfg.train_bn,
+                            name="backbone")(x, train)
         pyramid = FPN(out_channels=cfg.fpn_channels, dtype=dtype,
                       name="fpn")(c3, c4, c5)
 

@@ -75,8 +75,12 @@ class SSD(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """images: (B, H, W, 3) normalized. Returns (cls_logits, box_offsets)."""
+    def __call__(self, images: jnp.ndarray,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """images: (B, H, W, 3) normalized. Returns (cls_logits, box_offsets).
+        ``train`` is accepted for train-loop uniformity; SSD has no BatchNorm
+        so it is a no-op."""
+        del train
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         x = images.astype(dtype)

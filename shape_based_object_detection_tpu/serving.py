@@ -29,12 +29,15 @@ class Detection:
     labels: np.ndarray  # (K,) 0-based foreground class ids
 
 
-def prepare_batch(images: Sequence[np.ndarray], size: int, batch_size: int
-                  ) -> Tuple[np.ndarray, list]:
+def prepare_batch(images: Sequence[np.ndarray], size: int, batch_size: int,
+                  letterbox: bool = False) -> Tuple[np.ndarray, list]:
     """Resize (BILINEAR, the filter used across all serving paths) and
     zero-pad a request of <= batch_size images to the compiled batch shape.
-    Returns (batch (B,S,S,3) uint8, original (h, w) sizes)."""
+    ``letterbox=True`` preserves aspect (pad bottom/right) instead of the
+    square resize. Returns (batch (B,S,S,3) uint8, original (h, w) sizes)."""
     from PIL import Image
+
+    from shape_based_object_detection_tpu.utils.image import letterbox_image_host
 
     assert len(images) <= batch_size
     batch = np.zeros((batch_size, size, size, 3), np.uint8)
@@ -42,13 +45,22 @@ def prepare_batch(images: Sequence[np.ndarray], size: int, batch_size: int
     for i, img in enumerate(images):
         h, w = img.shape[:2]
         sizes.append((h, w))
-        batch[i] = np.asarray(
-            Image.fromarray(img).resize((size, size), Image.BILINEAR))
+        if letterbox:
+            batch[i] = letterbox_image_host(img, size)
+        else:
+            batch[i] = np.asarray(
+                Image.fromarray(img).resize((size, size), Image.BILINEAR))
     return batch, sizes
 
 
-def unpack_detections(det, sizes, min_score: float = 0.0) -> List[Detection]:
-    """Fixed-size device Detections -> per-image unpadded pixel-space lists."""
+def unpack_detections(det, sizes, min_score: float = 0.0,
+                      letterbox: bool = False) -> List[Detection]:
+    """Fixed-size device Detections -> per-image unpadded pixel-space lists.
+    ``letterbox`` must match how the batch was prepared."""
+    from shape_based_object_detection_tpu.utils.image import (
+        boxes_norm_to_original_px,
+    )
+
     boxes = np.asarray(det.boxes)
     scores = np.asarray(det.scores)
     labels = np.asarray(det.labels)
@@ -56,7 +68,7 @@ def unpack_detections(det, sizes, min_score: float = 0.0) -> List[Detection]:
     out = []
     for i, (h, w) in enumerate(sizes):
         keep = valid[i] & (scores[i] >= min_score)
-        bx = boxes[i][keep] * np.asarray([w, h, w, h], np.float32)
+        bx = boxes_norm_to_original_px(boxes[i][keep], h, w, letterbox)
         out.append(Detection(boxes=bx, scores=scores[i][keep],
                              labels=labels[i][keep]))
     return out
@@ -71,6 +83,7 @@ class Predictor:
         self.batch_size = batch_size
         self.min_score = min_score
         self.size = cfg.model.image_size
+        self.letterbox = cfg.data.letterbox
         module, init_vars, anchors = build_model(cfg.model)
         self.variables = variables if variables is not None else init_vars
         if quantize:
@@ -90,7 +103,8 @@ class Predictor:
     def submit(self, images: Sequence[np.ndarray]) -> None:
         """Dispatch a batch without blocking (device runs while host works)."""
         assert self._pending is None, "poll() the previous batch first"
-        batch, sizes = prepare_batch(images, self.size, self.batch_size)
+        batch, sizes = prepare_batch(images, self.size, self.batch_size,
+                                     self.letterbox)
         det = self._detect(self.variables, jnp.asarray(batch))  # async
         self._pending = (det, sizes)
 
@@ -99,7 +113,7 @@ class Predictor:
         assert self._pending is not None
         det, sizes = self._pending
         self._pending = None
-        return unpack_detections(det, sizes, self.min_score)
+        return unpack_detections(det, sizes, self.min_score, self.letterbox)
 
     def predict(self, images: Sequence[np.ndarray]) -> List[Detection]:
         self.submit(images)
@@ -117,8 +131,10 @@ class ArtifactPredictor:
         self.min_score = min_score
         self.size = self._model.header["image_size"]
         self.batch_size = self._model.header["batch_size"]
+        self.letterbox = bool(self._model.header.get("letterbox", False))
 
     def predict(self, images: Sequence[np.ndarray]) -> List[Detection]:
-        batch, sizes = prepare_batch(images, self.size, self.batch_size)
+        batch, sizes = prepare_batch(images, self.size, self.batch_size,
+                                     self.letterbox)
         det = self._model(batch)
-        return unpack_detections(det, sizes, self.min_score)
+        return unpack_detections(det, sizes, self.min_score, self.letterbox)

@@ -118,18 +118,32 @@ def make_train_step(
     tx = make_optimizer(cfg.train)
     variances = cfg.model.anchors.variances
 
-    apply_fn = module.apply
+    train_bn = getattr(cfg.model, "train_bn", False)
+    if train_bn:
+        # BN in batch-stats mode: apply returns (outputs, mutated collections);
+        # the updated batch_stats ride out through the aux and replace
+        # state.extra_vars after the step (gradients don't flow into them).
+        def fwd(variables, x):
+            return module.apply(variables, x, train=True,
+                                mutable=["batch_stats"])
+    else:
+        def fwd(variables, x):
+            return module.apply(variables, x), None
+    apply_fn = fwd
     if cfg.train.remat:
         # recompute activations in the backward pass instead of keeping them
         # in HBM — the large-resolution (config #5) memory lever
-        apply_fn = jax.checkpoint(apply_fn)
+        apply_fn = jax.checkpoint(fwd)
 
     def loss_fn(params, extra_vars, images, boxes, labels, valid):
         x = images
-        cls_logits, box_offsets = apply_fn({"params": params, **extra_vars}, x)
+        (cls_logits, box_offsets), mutated = apply_fn(
+            {"params": params, **extra_vars}, x)
+        new_extra = ({**extra_vars, **jax.lax.stop_gradient(mutated)}
+                     if mutated else extra_vars)
         match = match_batch(anchors, boxes, labels, valid, cfg.match, variances)
         loss, metrics = detection_loss(cls_logits, box_offsets, match, cfg.loss)
-        return loss, metrics
+        return loss, (metrics, new_extra)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
@@ -147,20 +161,32 @@ def make_train_step(
             images = normalize_images(batch["images"], cfg.data.mean, cfg.data.std)
             boxes, labels, valid = batch["boxes"], batch["labels"], batch["valid"]
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.extra_vars, images, boxes, labels, valid
-        )
+        (loss, (metrics, extra_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.extra_vars, images, boxes, labels, valid)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         d = cfg.train.ema_decay
-        ema = (jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p,
-                                      state.ema_params, params)
-               if d > 0 else state.ema_params)
+        if d > 0:
+            ema = jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p,
+                                         state.ema_params, params)
+            if cfg.train.grad_accum_steps > 1:
+                # EMA tracks OPTIMIZER updates, not micro-steps: under
+                # accumulation, params only change when MultiSteps' inner
+                # counter wraps to 0; folding unchanged params into the EMA
+                # every micro-step would silently raise the effective decay
+                # to d^k per update.
+                applied = opt_state.mini_step == 0
+                ema = jax.tree_util.tree_map(
+                    lambda e_new, e_old: jnp.where(applied, e_new, e_old),
+                    ema, state.ema_params)
+        else:
+            ema = state.ema_params
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng,
-            ema_params=ema,
+            ema_params=ema, extra_vars=extra_vars,
         )
         return new_state, metrics
 

@@ -35,6 +35,6 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     # small programs, but dispatch-heavy pipelines (prefetch, eval) re-pay
     # those compiles on every process start otherwise.
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     _enabled = True
     return path

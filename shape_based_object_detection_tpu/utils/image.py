@@ -54,6 +54,55 @@ def letterbox_images(images: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.n
     return canvas, jnp.float32(scale)
 
 
+def letterbox_image_host(img: np.ndarray, size: int) -> np.ndarray:
+    """Host-side counterpart of :func:`letterbox_images` for the per-sample
+    decode path: aspect-preserving BILINEAR resize into the top-left of a
+    zero (size, size, 3) uint8 canvas (pad bottom/right).
+
+    Normalized canvas coordinates for a pixel box are box_px / max(H, W)
+    (the inverse of ops.boxes.boxes_to_original(letterboxed=True)).
+    """
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    scale = size / max(h, w)
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+    resized = np.asarray(
+        Image.fromarray(img).resize((nw, nh), Image.BILINEAR), np.uint8)
+    canvas = np.zeros((size, size, 3), np.uint8)
+    canvas[:nh, :nw] = resized
+    return canvas
+
+
+def boxes_px_to_input_norm(boxes_px: np.ndarray, h: int, w: int,
+                           letterbox: bool = False) -> np.ndarray:
+    """Pixel xyxy boxes -> normalized coords in the network-input frame.
+
+    Square-resize mode divides by (W, H); letterbox mode divides by
+    max(H, W) (the content occupies the top-left fraction of the canvas).
+    """
+    if letterbox:
+        return boxes_px / np.float32(max(h, w))
+    return boxes_px / np.array([w, h, w, h], np.float32)
+
+
+def boxes_norm_to_original_px(boxes_norm: np.ndarray, h: int, w: int,
+                              letterbox: bool = False) -> np.ndarray:
+    """Numpy inverse of :func:`boxes_px_to_input_norm` (host post-process),
+    clipped to the original image bounds. Mirrors
+    ops.boxes.boxes_to_original."""
+    if letterbox:
+        boxes = boxes_norm * np.float32(max(h, w))
+    else:
+        boxes = boxes_norm * np.array([w, h, w, h], np.float32)
+    return np.stack([
+        np.clip(boxes[..., 0], 0, w),
+        np.clip(boxes[..., 1], 0, h),
+        np.clip(boxes[..., 2], 0, w),
+        np.clip(boxes[..., 3], 0, h),
+    ], axis=-1)
+
+
 def decode_image_host(path_or_bytes) -> np.ndarray:
     """Host-side JPEG/PNG decode -> (H, W, 3) uint8. The only host image op."""
     from PIL import Image

@@ -54,14 +54,15 @@ def load_ap_matcher() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
-        lib.sbd_match_class.restype = None
-        lib.sbd_match_class.argtypes = [
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.sbd_match_class_full.restype = None
+        lib.sbd_match_class_full.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int32,
+            u8p, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int32,
+            u8p, u8p, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_uint8),
+            u8p, u8p,
         ]
         _LIB = lib
         return _LIB
@@ -70,27 +71,36 @@ def load_ap_matcher() -> Optional[ctypes.CDLL]:
 def match_class_native(
     det_boxes: np.ndarray,  # (N, 4) float32, score-sorted desc
     det_img_ids: np.ndarray,  # (N,) int32
+    det_oob: np.ndarray,  # (N,) uint8: det outside the eval area range
     gt_boxes: np.ndarray,  # (M, 4) float32
     gt_img_ids: np.ndarray,  # (M,) int32
+    gt_crowd: np.ndarray,  # (M,) uint8
+    gt_ignore: np.ndarray,  # (M,) uint8 (crowd and/or out-of-area)
     thresholds: np.ndarray,  # (T,) float32
-) -> Optional[np.ndarray]:
-    """Returns (T, N) uint8 tp matrix, or None if the library is unavailable."""
+) -> Optional[tuple]:
+    """Returns ((T, N) uint8 tp, (T, N) uint8 ignore) matrices, or None if
+    the library is unavailable. Semantics: eval/ap.py::_match_class."""
     lib = load_ap_matcher()
     if lib is None:
         return None
     det_boxes = np.ascontiguousarray(det_boxes, np.float32)
     det_img_ids = np.ascontiguousarray(det_img_ids, np.int32)
+    det_oob = np.ascontiguousarray(det_oob, np.uint8)
     gt_boxes = np.ascontiguousarray(gt_boxes, np.float32)
     gt_img_ids = np.ascontiguousarray(gt_img_ids, np.int32)
+    gt_crowd = np.ascontiguousarray(gt_crowd, np.uint8)
+    gt_ignore = np.ascontiguousarray(gt_ignore, np.uint8)
     thresholds = np.ascontiguousarray(thresholds, np.float32)
     n, m, t = len(det_img_ids), len(gt_img_ids), len(thresholds)
     tp = np.zeros((t, n), np.uint8)
+    ig = np.zeros((t, n), np.uint8)
     fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-    lib.sbd_match_class(
-        fptr(det_boxes), iptr(det_img_ids), n,
-        fptr(gt_boxes), iptr(gt_img_ids), m,
+    uptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    lib.sbd_match_class_full(
+        fptr(det_boxes), iptr(det_img_ids), uptr(det_oob), n,
+        fptr(gt_boxes), iptr(gt_img_ids), uptr(gt_crowd), uptr(gt_ignore), m,
         fptr(thresholds), t,
-        tp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        uptr(tp), uptr(ig),
     )
-    return tp
+    return tp, ig

@@ -1,0 +1,104 @@
+"""Worker process for the two-process jax.distributed CPU test
+(tests/test_parallel.py::test_two_process_distributed_train_step).
+
+Each process owns 2 virtual CPU devices; the global mesh is 4 devices over
+('data', 'model'=1). Per-process data comes from the host-sharded Loader
+(the config #5 input path) and is assembled into a global array with
+jax.make_array_from_process_local_data. After one train step the processes
+print a params checksum — the parent asserts they are identical (the
+compiler-inserted gradient all-reduce is the only cross-process traffic).
+
+Usage: python tests/multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nproc,
+    process_id=proc_id,
+)
+
+import dataclasses
+
+import numpy as np
+
+from shape_based_object_detection_tpu import config as config_lib
+from shape_based_object_detection_tpu import train as train_lib
+from shape_based_object_detection_tpu.data.pipeline import Loader
+from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
+from shape_based_object_detection_tpu.models.factory import build_model
+from shape_based_object_detection_tpu.parallel import (
+    batch_sharding, make_mesh, replicated_sharding,
+)
+
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 2 * nproc, len(jax.devices())
+
+model_cfg = config_lib.tiny_test_model("retinanet")
+cfg = config_lib.ExperimentConfig(
+    model=model_cfg,
+    data=dataclasses.replace(
+        config_lib.DataConfig(batch_size=4, max_boxes=4),
+        photometric=False, expand=False, random_crop=False, hflip=False,
+    ),
+    train=dataclasses.replace(config_lib.TrainConfig(), base_lr=0.01,
+                              warmup_steps=1, weight_decay=0.0),
+    loss=config_lib.LossConfig(kind="focal"),
+)
+
+module, variables, anchors = build_model(model_cfg)
+state = train_lib.create_train_state(module, variables, cfg)
+train_step = train_lib.make_train_step(module, anchors, cfg, augment=False)
+
+mesh = make_mesh(jax.devices(), cfg.mesh)
+dshard = batch_sharding(mesh, cfg.mesh)
+rshard = replicated_sharding(mesh)
+
+# the host-sharded input path: each process loads only its slice
+ds = SyntheticDetection(size=model_cfg.image_size, num_images=16,
+                        num_classes=model_cfg.num_classes)
+per_host = cfg.data.batch_size // nproc
+loader = Loader(ds, per_host, cfg.data.max_boxes, shuffle=True,
+                host_id=proc_id, num_hosts=nproc)
+local = next(iter(loader.batches(epoch=0)))
+
+b = cfg.data.batch_size
+
+
+def globalize(x, sharding):
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(x), global_shape=(b,) + x.shape[1:])
+
+
+batch = {
+    "images": globalize(local.images, dshard),
+    "boxes": globalize(local.boxes, dshard),
+    "labels": globalize(local.labels, dshard),
+    "valid": globalize(local.valid, dshard),
+}
+state = jax.device_put(state, rshard)
+state, metrics = train_step(state, batch)
+jax.block_until_ready(metrics)
+
+# params stay fully replicated, so every process can read them directly
+leaves = jax.tree_util.tree_leaves(state.params)
+checksum = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
+                     for l in leaves))
+loss = float(np.asarray(metrics["loss"]))
+print(f"RESULT proc={proc_id} checksum={checksum:.6f} loss={loss:.6f}",
+    flush=True)
+jax.distributed.shutdown()

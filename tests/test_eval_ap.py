@@ -94,3 +94,124 @@ def test_evaluator_accumulation():
     ev.add_batch(det, gt_boxes, gt_labels, gt_valid)
     assert ev.coco()["mAP"] == 1.0
     assert ev.voc()["mAP"] == 1.0
+
+
+# ---- COCOeval protocol: crowd-ignore, area strata, AR (VERDICT r1 item 5) --
+
+
+def test_crowd_match_is_ignored_not_fp():
+    """A high-scoring det inside a crowd region must not poison precision."""
+    gt = [GroundTruthRecord(
+        0,
+        np.stack([_box(0, 0, 10, 10), _box(50, 50, 100, 100)]),
+        np.asarray([1, 1]),
+        crowd=np.asarray([False, True]),
+    )]
+    det = [DetectionRecord(
+        0,
+        # det 1 sits fully inside the crowd: plain IoU 0.04, crowd IoU 1.0
+        np.stack([_box(60, 60, 70, 70), _box(0, 0, 10, 10)]),
+        np.asarray([0.95, 0.9]),
+        np.asarray([1, 1]),
+    )]
+    m = coco_map(det, gt)
+    # without crowd handling the 0.95 det would be a rank-1 FP -> AP50 0.5
+    assert m["AP50"] == 1.0 and m["mAP"] == 1.0
+
+
+def test_crowd_not_counted_in_recall_denominator():
+    gt = [GroundTruthRecord(
+        0, np.stack([_box(0, 0, 10, 10), _box(50, 50, 100, 100)]),
+        np.asarray([1, 1]), crowd=np.asarray([False, True]))]
+    det = [DetectionRecord(0, _box(0, 0, 10, 10)[None], np.asarray([0.9]),
+                           np.asarray([1]))]
+    m = coco_map(det, gt)
+    assert m["mAP"] == 1.0  # the crowd GT is not a missed GT
+
+
+def test_real_gt_preferred_over_crowd():
+    """When both a real GT and a crowd overlap a det, the real GT wins."""
+    gt = [GroundTruthRecord(
+        0, np.stack([_box(0, 0, 10, 10), _box(0, 0, 100, 100)]),
+        np.asarray([1, 1]), crowd=np.asarray([False, True]))]
+    det = [DetectionRecord(0, _box(0, 0, 10, 10)[None], np.asarray([0.9]),
+                           np.asarray([1]))]
+    m = coco_map(det, gt)
+    assert m["mAP"] == 1.0  # counted as TP on the real GT, recall 1/1
+
+
+def test_area_stratified_ap():
+    # one small GT (10x10 = 100 px^2) and one large GT (200x200 = 40000 px^2)
+    gt = [GroundTruthRecord(
+        0, np.stack([_box(0, 0, 10, 10), _box(300, 300, 500, 500)]),
+        np.asarray([1, 1]))]
+    det = [DetectionRecord(
+        0, np.stack([_box(0, 0, 10, 10), _box(300, 300, 500, 500)]),
+        np.asarray([0.9, 0.8]), np.asarray([1, 1]))]
+    m = coco_map(det, gt)
+    assert m["APsmall"] == 1.0
+    assert m["APlarge"] == 1.0
+    assert np.isnan(m["APmedium"])  # no medium GT anywhere -> excluded
+    assert m["mAP"] == 1.0
+
+
+def test_out_of_area_det_ignored_in_stratum():
+    """In the large stratum, an unmatched small det is ignored, not FP."""
+    gt = [GroundTruthRecord(0, _box(300, 300, 500, 500)[None],
+                            np.asarray([1]))]
+    det = [DetectionRecord(
+        0,
+        np.stack([_box(0, 0, 5, 5), _box(300, 300, 500, 500)]),
+        np.asarray([0.95, 0.9]),  # small FP outranks the large TP
+        np.asarray([1, 1]))]
+    m = coco_map(det, gt)
+    assert m["APlarge"] == 1.0  # the small det is out of the stratum
+    # no small GT exists -> the small stratum is excluded (NaN), matching
+    # pycocotools' -1 convention
+    assert np.isnan(m["APsmall"])
+
+
+def test_area_scale_converts_normalized_boxes():
+    """Normalized boxes with area_scale=512: 0.01^2 canvas box = 5.12px box
+    (small); 0.5^2 = 256px box (large)."""
+    gt = [GroundTruthRecord(
+        0, np.stack([_box(0, 0, 0.02, 0.02), _box(0.3, 0.3, 0.8, 0.8)]),
+        np.asarray([1, 1]))]
+    det = [DetectionRecord(
+        0, np.stack([_box(0, 0, 0.02, 0.02), _box(0.3, 0.3, 0.8, 0.8)]),
+        np.asarray([0.9, 0.8]), np.asarray([1, 1]))]
+    m = coco_map(det, gt, area_scale=512.0)
+    assert m["APsmall"] == 1.0 and m["APlarge"] == 1.0
+
+
+def test_average_recall_maxdets():
+    """3 GT, 3 perfect dets in one image: AR1 = 1/3, AR10 = AR100 = 1."""
+    boxes = np.stack([_box(0, 0, 10, 10), _box(20, 20, 30, 30),
+                      _box(40, 40, 50, 50)])
+    gt = [GroundTruthRecord(0, boxes, np.asarray([1, 1, 1]))]
+    det = [DetectionRecord(0, boxes, np.asarray([0.9, 0.8, 0.7]),
+                           np.asarray([1, 1, 1]))]
+    m = coco_map(det, gt)
+    np.testing.assert_allclose(m["AR1"], 1.0 / 3.0, atol=1e-9)
+    np.testing.assert_allclose(m["AR10"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(m["AR100"], 1.0, atol=1e-9)
+
+
+def test_evaluator_crowd_plumbing():
+    from shape_based_object_detection_tpu.eval import Evaluator
+    from shape_based_object_detection_tpu.ops.nms import Detections
+
+    ev = Evaluator(area_scale=100.0)
+    det = Detections(
+        boxes=np.asarray([[[0.0, 0.0, 0.5, 0.5], [0.6, 0.6, 0.9, 0.9]]]),
+        scores=np.asarray([[0.95, 0.9]]),
+        labels=np.asarray([[1, 1]]),
+        valid=np.asarray([[True, True]]),
+    )
+    gt_boxes = np.asarray([[[0.0, 0.0, 0.5, 0.5], [0.5, 0.5, 1.0, 1.0]]])
+    gt_labels = np.asarray([[1, 1]])
+    gt_valid = np.asarray([[True, True]])
+    gt_crowd = np.asarray([[False, True]])
+    ev.add_batch(det, gt_boxes, gt_labels, gt_valid, gt_crowd=gt_crowd)
+    m = ev.coco()
+    assert m["mAP"] == 1.0  # second det ignored on the crowd, first is TP

@@ -1,0 +1,174 @@
+"""Letterbox preprocessing end-to-end (BASELINE.json:6 "letterbox resize";
+VERDICT r1 missing #2): host/device geometry agreement, dataset wiring,
+serving round-trip, and coordinate inversion.
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from shape_based_object_detection_tpu import config as config_lib
+from shape_based_object_detection_tpu.ops import boxes as box_ops
+from shape_based_object_detection_tpu.utils.image import (
+    boxes_norm_to_original_px,
+    boxes_px_to_input_norm,
+    letterbox_image_host,
+    letterbox_images,
+)
+
+
+def test_letterbox_host_geometry():
+    """A wide image lands in the top-left; the pad region is zero."""
+    img = np.full((100, 200, 3), 255, np.uint8)
+    canvas = letterbox_image_host(img, 64)
+    assert canvas.shape == (64, 64, 3)
+    # scale = 64/200 -> content is 32 rows x 64 cols
+    assert (canvas[:32, :, :] == 255).all()
+    assert (canvas[33:, :, :] == 0).all()
+
+
+def test_letterbox_host_matches_device():
+    """Host PIL letterbox and device jax.image letterbox agree on layout
+    (same occupied region and zero padding; values differ only by resampler
+    details)."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (60, 120, 3), dtype=np.uint8)
+    host = letterbox_image_host(img, 64).astype(np.float32)
+    dev, scale = letterbox_images(jnp.asarray(img)[None], 64)
+    dev = np.asarray(dev[0])
+    assert abs(float(scale) - 64 / 120) < 1e-6
+    # identical occupied region: rows [0,32), full width
+    assert (host[32:] == 0).all() and (dev[32:] == 0).all()
+    assert host[:32].mean() > 0 and dev[:32].mean() > 0
+    # same image content up to resampling differences
+    assert np.abs(host[:32] - dev[:32]).mean() < 16.0
+
+
+def test_box_round_trip_letterbox():
+    """px -> canvas-norm -> px is the identity for in-bounds boxes."""
+    h, w = 100, 200
+    boxes_px = np.array([[10.0, 20.0, 150.0, 90.0],
+                         [0.0, 0.0, 200.0, 100.0]], np.float32)
+    norm = boxes_px_to_input_norm(boxes_px, h, w, letterbox=True)
+    assert norm.max() <= 1.0 + 1e-6
+    back = boxes_norm_to_original_px(norm, h, w, letterbox=True)
+    np.testing.assert_allclose(back, boxes_px, atol=1e-4)
+    # and the jnp device-side inverse agrees
+    dev = np.asarray(box_ops.boxes_to_original(
+        jnp.asarray(norm), h, w, letterboxed=True))
+    np.testing.assert_allclose(dev, boxes_px, atol=1e-4)
+
+
+def test_letterbox_vs_square_norm_disagree_then_map_back_same():
+    """The two modes normalize differently but both invert to the same
+    original pixels (the consistency contract between modes)."""
+    h, w = 100, 200
+    boxes_px = np.array([[20.0, 10.0, 120.0, 80.0]], np.float32)
+    for lb in (False, True):
+        norm = boxes_px_to_input_norm(boxes_px, h, w, letterbox=lb)
+        back = boxes_norm_to_original_px(norm, h, w, letterbox=lb)
+        np.testing.assert_allclose(back, boxes_px, atol=1e-4)
+    sq = boxes_px_to_input_norm(boxes_px, h, w, letterbox=False)
+    lb = boxes_px_to_input_norm(boxes_px, h, w, letterbox=True)
+    assert not np.allclose(sq, lb)
+
+
+VOC_XML = """<annotation>
+  <size><width>100</width><height>200</height><depth>3</depth></size>
+  <object><name>dog</name><difficult>0</difficult>
+    <bndbox><xmin>11</xmin><ymin>21</ymin><xmax>51</xmax><ymax>101</ymax></bndbox>
+  </object>
+</annotation>"""
+
+
+def test_voc_dataset_letterbox(tmp_path):
+    from PIL import Image
+
+    from shape_based_object_detection_tpu.data.voc import VOCDetection
+
+    root = tmp_path / "VOC"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "Annotations").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    Image.fromarray(np.full((200, 100, 3), 128, np.uint8)).save(
+        root / "JPEGImages" / "im1.jpg")
+    (root / "Annotations" / "im1.xml").write_text(VOC_XML)
+    (root / "ImageSets" / "Main" / "train.txt").write_text("im1\n")
+
+    ds = VOCDetection(str(root), "train", image_size=64, letterbox=True)
+    img, boxes, labels = ds[0]
+    assert img.shape == (64, 64, 3)
+    # H=200 is the long side: content occupies cols [0, 32), pad right
+    assert (img[:, 33:, :] == 0).all()
+    assert img[:, :32, :].mean() > 0
+    # boxes normalized by max(h, w) = 200
+    np.testing.assert_allclose(boxes[0], [10 / 200, 20 / 200, 50 / 200, 100 / 200])
+
+
+COCO_JSON = {
+    "images": [{"id": 7, "file_name": "a.jpg", "height": 100, "width": 200}],
+    "categories": [{"id": 3, "name": "car"}],
+    "annotations": [
+        {"id": 1, "image_id": 7, "category_id": 3, "bbox": [10, 20, 30, 40],
+         "iscrowd": 0, "area": 1200},
+    ],
+}
+
+
+def test_coco_dataset_letterbox(tmp_path):
+    from PIL import Image
+
+    from shape_based_object_detection_tpu.data.coco import CocoDetection
+
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(COCO_JSON))
+    Image.fromarray(np.full((100, 200, 3), 99, np.uint8)).save(tmp_path / "a.jpg")
+    ds = CocoDetection(str(tmp_path), str(p), image_size=32, letterbox=True)
+    img, boxes, labels = ds[0]
+    assert img.shape == (32, 32, 3)
+    assert (img[17:, :, :] == 0).all()  # pad bottom (W=200 long side)
+    np.testing.assert_allclose(
+        boxes[0], [10 / 200, 20 / 200, 40 / 200, 60 / 200], atol=1e-6)
+
+
+def test_predictor_letterbox_roundtrip(rng):
+    """Serving with letterbox: boxes return in original pixel bounds."""
+    from shape_based_object_detection_tpu.serving import Predictor
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, letterbox=True))
+    pred = Predictor(cfg, batch_size=2, min_score=0.0)
+    assert pred.letterbox
+
+    imgs = [rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)]
+    out = pred.predict(imgs)
+    assert len(out) == 1
+    det = out[0]
+    if det.boxes.size:
+        h, w = 96, 128
+        assert (det.boxes[:, [0, 2]] <= w + 1e-3).all()
+        assert (det.boxes[:, [1, 3]] <= h + 1e-3).all()
+        assert (det.boxes >= -1e-3).all()
+
+
+def test_detect_single_image_letterbox(rng):
+    """detect_single_image letterbox path returns in-bounds pixel boxes and
+    the same API shape as the square path."""
+    from shape_based_object_detection_tpu.detection import (
+        detect_single_image, make_detect_fn,
+    )
+    from shape_based_object_detection_tpu.models.factory import build_model
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    module, variables, anchors = build_model(cfg.model)
+    detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
+    img = rng.integers(0, 255, (80, 40, 3), dtype=np.uint8)
+    for lb in (False, True):
+        boxes, scores, labels = detect_single_image(
+            detect, variables, img, cfg.model.image_size, letterbox=lb)
+        if boxes.size:
+            assert (boxes[:, [0, 2]] <= 40 + 1e-3).all()
+            assert (boxes[:, [1, 3]] <= 80 + 1e-3).all()

@@ -1,4 +1,5 @@
-"""Native C++ AP matcher vs the pure-Python reference path (must be identical)."""
+"""Native C++ AP matcher vs the pure-Python reference path (must be identical),
+including the COCOeval crowd-ignore and area-stratification semantics."""
 
 import numpy as np
 import pytest
@@ -9,7 +10,7 @@ from shape_based_object_detection_tpu.eval.ap import (
 from shape_based_object_detection_tpu.utils import native
 
 
-def _random_records(rng, n_images=6, n_classes=3):
+def _random_records(rng, n_images=6, n_classes=3, with_crowd=False):
     dets, gts = [], []
     for img in range(n_images):
         g = int(rng.integers(1, 5))
@@ -17,7 +18,8 @@ def _random_records(rng, n_images=6, n_classes=3):
         wh = rng.uniform(0.1, 0.3, (g, 2))
         gt_boxes = np.concatenate([cxcy - wh / 2, cxcy + wh / 2], 1).astype(np.float32)
         gt_labels = rng.integers(1, n_classes + 1, g).astype(np.int64)
-        gts.append(GroundTruthRecord(img, gt_boxes, gt_labels))
+        crowd = (rng.uniform(size=g) < 0.3) if with_crowd else None
+        gts.append(GroundTruthRecord(img, gt_boxes, gt_labels, crowd))
 
         d = int(rng.integers(2, 8))
         base = gt_boxes[rng.integers(0, g, d)]
@@ -29,18 +31,22 @@ def _random_records(rng, n_images=6, n_classes=3):
     return dets, gts
 
 
-def test_native_matches_python(rng, monkeypatch):
+@pytest.mark.parametrize("with_crowd", [False, True])
+@pytest.mark.parametrize("area_scale", [1.0, 512.0])
+def test_native_matches_python(rng, monkeypatch, with_crowd, area_scale):
     if native.load_ap_matcher() is None:
         pytest.skip("g++ unavailable")
-    dets, gts = _random_records(rng)
-    m_native = coco_map(dets, gts)
+    dets, gts = _random_records(rng, with_crowd=with_crowd)
+    m_native = coco_map(dets, gts, area_scale=area_scale)
 
     # disable the native fast path -> pure-Python reference loop
     monkeypatch.setattr(native, "match_class_native", lambda *a, **k: None)
-    m_python = coco_map(dets, gts)
+    m_python = coco_map(dets, gts, area_scale=area_scale)
 
-    np.testing.assert_allclose(m_native["mAP"], m_python["mAP"], atol=1e-9)
-    np.testing.assert_allclose(m_native["AP50"], m_python["AP50"], atol=1e-9)
+    for key in ("mAP", "AP50", "AP75", "APsmall", "APmedium", "APlarge",
+                "AR1", "AR10", "AR100"):
+        np.testing.assert_allclose(m_native[key], m_python[key], atol=1e-9,
+                                   err_msg=key)
     for c in m_native["per_class"]:
         np.testing.assert_allclose(
             m_native["per_class"][c], m_python["per_class"][c], atol=1e-9)
@@ -50,10 +56,33 @@ def test_native_library_builds():
     lib = native.load_ap_matcher()
     if lib is None:
         pytest.skip("g++ unavailable")
-    # direct call on a trivial case: one det == one gt
-    tp = native.match_class_native(
+    # direct call on a trivial case: one det == one gt, no crowd/area flags
+    out = native.match_class_native(
         np.asarray([[0, 0, 1, 1]], np.float32), np.asarray([0], np.int32),
+        np.zeros(1, np.uint8),
         np.asarray([[0, 0, 1, 1]], np.float32), np.asarray([0], np.int32),
+        np.zeros(1, np.uint8), np.zeros(1, np.uint8),
         np.asarray([0.5, 0.95], np.float32),
     )
+    assert out is not None
+    tp, ig = out
     np.testing.assert_array_equal(tp, [[1], [1]])
+    np.testing.assert_array_equal(ig, [[0], [0]])
+
+
+def test_native_crowd_ignore_direct():
+    """A det over a crowd GT is ignored, not FP; crowd IoU = inter/det-area."""
+    if native.load_ap_matcher() is None:
+        pytest.skip("g++ unavailable")
+    # det fully inside a big crowd region: plain IoU would be small (0.25),
+    # crowd IoU is 1.0
+    out = native.match_class_native(
+        np.asarray([[0, 0, 0.5, 0.5]], np.float32), np.asarray([0], np.int32),
+        np.zeros(1, np.uint8),
+        np.asarray([[0, 0, 1, 1]], np.float32), np.asarray([0], np.int32),
+        np.ones(1, np.uint8), np.ones(1, np.uint8),
+        np.asarray([0.5], np.float32),
+    )
+    tp, ig = out
+    np.testing.assert_array_equal(tp, [[0]])
+    np.testing.assert_array_equal(ig, [[1]])

@@ -2,6 +2,7 @@
 virtual CPU devices — validates the config #5 sharding without a pod."""
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -131,3 +132,52 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    """REAL multi-process jax.distributed on CPU (SURVEY §4 item 4, VERDICT
+    r1 item 7): 2 processes x 2 virtual devices, host-sharded Loader input,
+    one global train step; post-step params must be identical across
+    processes (gradient all-reduce correctness)."""
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "cache")
+    repo_root = os.path.dirname(os.path.dirname(worker))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(worker)),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    results = {}
+    for out in outs:
+        m = re.search(r"RESULT proc=(\d+) checksum=([\d.]+) loss=([\d.]+)", out)
+        assert m, f"no RESULT line:\n{out[-3000:]}"
+        results[int(m.group(1))] = (m.group(2), m.group(3))
+    assert set(results) == {0, 1}
+    assert results[0] == results[1], f"processes diverged: {results}"

@@ -324,3 +324,77 @@ def test_grad_accumulation_matches_big_batch(tiny_setup):
                     jax.tree_util.tree_leaves(s_big.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_train_bn_updates_batch_stats(tiny_setup):
+    """train_bn=True: backbone BN runs in batch-stats mode and the running
+    statistics move each step (VERDICT r1 missing #4 / SURVEY §3.1)."""
+    cfg, module, variables, anchors, _ = tiny_setup
+    bn_model = dataclasses.replace(cfg.model, train_bn=True)
+    bn_cfg = dataclasses.replace(cfg, model=bn_model)
+    bn_module, bn_vars, bn_anchors = build_model(bn_model)
+    step_fn = train_lib.make_train_step(bn_module, bn_anchors, bn_cfg,
+                                        augment=False)
+    state = train_lib.create_train_state(bn_module, bn_vars, bn_cfg)
+    means0 = np.concatenate([
+        np.ravel(x) for x in jax.tree_util.tree_leaves(
+            state.extra_vars["batch_stats"])
+    ]).copy()
+    state, metrics = step_fn(state, _fake_batch(bn_cfg))
+    assert np.isfinite(float(metrics["loss"]))
+    means1 = np.concatenate([
+        np.ravel(x) for x in jax.tree_util.tree_leaves(
+            state.extra_vars["batch_stats"])
+    ])
+    assert not np.allclose(means0, means1), "batch_stats must update"
+    # and params still train
+    state, _ = step_fn(state, _fake_batch(bn_cfg))
+    assert int(state.step) == 2
+
+
+def test_frozen_bn_keeps_batch_stats(tiny_setup):
+    """Default train_bn=False: batch_stats are bit-identical after a step."""
+    cfg, module, variables, anchors, step_fn = tiny_setup
+    state = train_lib.create_train_state(module, variables, cfg)
+    stats0 = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), state.extra_vars)
+    state, _ = step_fn(state, _fake_batch(cfg))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        state.extra_vars, stats0)
+
+
+def test_checkpoint_ema_structure_mismatch_both_ways(tiny_setup, tmp_path):
+    """restore_latest adapts the EMA subtree to the saved structure in both
+    directions (ADVICE r1: orbax StandardRestore raises on mismatch)."""
+    from shape_based_object_detection_tpu.checkpoint import CheckpointManager
+
+    cfg, module, variables, anchors, _ = tiny_setup
+    ema_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9))
+
+    # EMA-trained checkpoint, restored with a non-EMA template
+    d1 = str(tmp_path / "ema_ckpt")
+    ckpt = CheckpointManager(d1, async_save=False)
+    ema_state = train_lib.create_train_state(module, variables, ema_cfg)
+    ckpt.save(ema_state, 3)
+    ckpt.wait()
+    plain_template = train_lib.create_train_state(module, variables, cfg)
+    assert plain_template.ema_params is None
+    restored = CheckpointManager(d1, async_save=False).restore_latest(
+        plain_template)
+    assert restored is not None and restored.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(ema_state.params)[0]))
+
+    # non-EMA checkpoint, restored with an EMA template
+    d2 = str(tmp_path / "plain_ckpt")
+    ckpt2 = CheckpointManager(d2, async_save=False)
+    plain_state = train_lib.create_train_state(module, variables, cfg)
+    ckpt2.save(plain_state, 5)
+    ckpt2.wait()
+    ema_template = train_lib.create_train_state(module, variables, ema_cfg)
+    restored2 = CheckpointManager(d2, async_save=False).restore_latest(
+        ema_template)
+    assert restored2 is not None and restored2.ema_params is None

@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--quantize", action="store_true",
                    help="embed int8 weight-only quantized constants (~4x "
                         "smaller artifact, dequantize fused on-chip)")
+    p.add_argument("--ema", action="store_true",
+                   help="export the checkpoint's EMA weights (requires a "
+                        "checkpoint trained with ema_decay > 0)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
@@ -51,7 +54,14 @@ def main(argv=None):
         state = train_lib.create_train_state(module, variables, cfg)
         restored = CheckpointManager(args.checkpoint_dir).restore_latest(state)
         if restored is not None:
-            variables = {"params": restored.params, **restored.extra_vars}
+            if args.ema and restored.ema_params is None:
+                raise SystemExit(
+                    "--ema: checkpoint has no EMA weights (train with "
+                    "--ema-decay > 0)")
+            params = restored.ema_params if args.ema else restored.params
+            variables = {"params": params, **restored.extra_vars}
+    elif args.ema:
+        raise SystemExit("--ema requires --checkpoint-dir")
 
     blob = export_lib.export_detect(
         module, variables, anchors, cfg.model, cfg.data,
