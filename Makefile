@@ -30,3 +30,9 @@ native:
 # wiring check without executing anything heavy
 lint:
 	python -c "import ast, pathlib; [ast.parse(p.read_text()) for p in pathlib.Path('shape_based_object_detection_tpu').rglob('*.py')]; print('ok')"
+
+bench-loader:  ## input-pipeline throughput (threads vs grain vs memmap cache)
+	python tools/bench_loader.py --images 128 --size 512 --batch 16 --workers 8
+
+profile-train:  ## train-step stage breakdown + MFU estimate on the chip
+	python tools/profile_train.py --batch 16

@@ -28,10 +28,23 @@ def main(argv=None):
     p.add_argument("--split", default="val")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--protocol", choices=["coco", "voc"], default="coco")
+    p.add_argument("--dataset", default="",
+                   help="override the preset's dataset kind (voc|coco|"
+                        "synthetic), e.g. to eval a tiny model on real data")
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--dump-results", default="",
+                   help="write detections as standard COCO results JSON "
+                        "([{image_id, category_id, bbox xywh px, score}]) — "
+                        "cross-checkable with pycocotools elsewhere; "
+                        "requires a coco dataset")
     args = p.parse_args(argv)
 
     cfg = config_lib.get_config(args.config)
+    if args.dataset:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, dataset=args.dataset))
     module, variables, anchors = build_model(cfg.model)
     if args.checkpoint_dir:
         from shape_based_object_detection_tpu import train as train_lib
@@ -50,13 +63,47 @@ def main(argv=None):
     loader = Loader(dataset, cfg.data.batch_size, cfg.data.max_boxes,
                     shuffle=False)
     ev = Evaluator(area_scale=cfg.model.image_size)
+    coco_results = []
+    is_coco_ds = hasattr(dataset, "coco")
+    sample_idx = 0
     for i, batch in enumerate(loader.batches()):
         det = detect(variables, jnp.asarray(batch.images))
         # detect() labels are 0-based foreground ids; GT labels are 1-based
         ev.add_batch(det, batch.boxes, batch.labels - 1, batch.valid,
                      gt_crowd=batch.crowd)
+        if args.dump_results and is_coco_ds:
+            # loader is unshuffled, so batch b covers dataset rows
+            # [sample_idx, sample_idx + B): recover original image ids/sizes
+            from shape_based_object_detection_tpu.utils.image import (
+                boxes_norm_to_original_px,
+            )
+
+            for b in range(batch.images.shape[0]):
+                im = dataset.images[sample_idx]
+                v = np.asarray(det.valid[b])
+                boxes_px = boxes_norm_to_original_px(
+                    np.asarray(det.boxes[b])[v], im["height"], im["width"],
+                    letterbox=cfg.data.letterbox)
+                for box, score, label in zip(
+                        boxes_px, np.asarray(det.scores[b])[v],
+                        np.asarray(det.labels[b])[v]):
+                    x0, y0, x1, y1 = [float(t) for t in box]
+                    coco_results.append({
+                        "image_id": int(im["id"]),
+                        "category_id": int(
+                            dataset.coco.label_to_cat_id[int(label) + 1]),
+                        "bbox": [round(x0, 2), round(y0, 2),
+                                 round(x1 - x0, 2), round(y1 - y0, 2)],
+                        "score": round(float(score), 5),
+                    })
+                sample_idx += 1
         if args.max_batches and i + 1 >= args.max_batches:
             break
+    if args.dump_results:
+        with open(args.dump_results, "w") as f:
+            json.dump(coco_results, f)
+        print(f"wrote {len(coco_results)} results to {args.dump_results}",
+              flush=True)
     metrics = ev.coco() if args.protocol == "coco" else ev.voc()
     metrics.pop("per_class", None)
     print(json.dumps(metrics, indent=2))

@@ -66,7 +66,17 @@ def main(argv=None):
     p.add_argument("--val-batches", type=int, default=0,
                    help="cap on val batches per eval (0 = the whole split)")
     p.add_argument("--workers", type=int, default=4,
-                   help="data-loader worker threads (0 = serial)")
+                   help="data-loader workers: threads for --loader threads, "
+                        "processes for --loader grain (0 = serial/in-proc)")
+    p.add_argument("--loader", choices=["threads", "grain", "cache"],
+                   default="threads",
+                   help="input pipeline: 'threads' = built-in thread-pool "
+                        "Loader; 'grain' = grain with multi-process workers; "
+                        "'cache' = pre-decode the dataset once into a memmap "
+                        "cache (see --cache-dir), then vectorized gathers")
+    p.add_argument("--cache-dir", default="",
+                   help="--loader cache location (default "
+                        "<checkpoint-dir>/data_cache)")
     p.add_argument("--ema-decay", type=float, default=-1.0,
                    help="override TrainConfig.ema_decay (e.g. 0.999; "
                         "detect_cli --ema serves the averaged weights)")
@@ -111,12 +121,32 @@ def main(argv=None):
     state = jax.device_put(state, replicated_sharding(mesh))
 
     dataset = build_dataset(cfg, args)
-    loader = Loader(
-        dataset, cfg.data.batch_size // max(1, jax.process_count()),
-        cfg.data.max_boxes, seed=cfg.train.seed,
-        host_id=jax.process_index(), num_hosts=jax.process_count(),
-        workers=args.workers,
+    loader_kwargs = dict(
+        seed=cfg.train.seed, host_id=jax.process_index(),
+        num_hosts=jax.process_count(), workers=args.workers,
     )
+    per_host_bs = cfg.data.batch_size // max(1, jax.process_count())
+    if args.loader == "grain":
+        from shape_based_object_detection_tpu.data.grain_pipeline import (
+            GrainLoader,
+        )
+
+        loader = GrainLoader(dataset, per_host_bs, cfg.data.max_boxes,
+                             **loader_kwargs)
+    elif args.loader == "cache":
+        from shape_based_object_detection_tpu.data.cache import (
+            CacheLoader, MemmapDetection, build_cache,
+        )
+
+        cache_dir = args.cache_dir or os.path.join(
+            cfg.train.checkpoint_dir, "data_cache")
+        build_cache(dataset, cache_dir, cfg.data.max_boxes,
+                    workers=max(1, args.workers))
+        loader = CacheLoader(MemmapDetection(cache_dir), per_host_bs,
+                             cfg.data.max_boxes, **loader_kwargs)
+    else:
+        loader = Loader(dataset, per_host_bs, cfg.data.max_boxes,
+                        **loader_kwargs)
     logger = MetricsLogger(log_every=args.log_every,
                            tensorboard_dir=args.tb_dir or None)
     eval_step = (train_lib.make_eval_step(module, anchors, cfg)

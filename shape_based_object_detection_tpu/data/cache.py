@@ -1,0 +1,147 @@
+"""Pre-decoded sample cache (SURVEY.md §1 "grain source over pre-serialized
+arrays"): the input-supply lever for training throughput.
+
+The per-step host cost of the plain Loader is JPEG decode + PIL resize per
+sample (BASELINE.md: input supply, not the device, is the config #3-style
+bottleneck on this host). This module materializes a dataset ONCE into
+uniform memmap arrays (images u8, padded boxes/labels/valid/crowd), after
+which an epoch is pure vectorized numpy gathers — no decode, no PIL, no
+per-sample Python in the hot path.
+
+    build_cache(dataset, "/data/cache_voc512", max_boxes=100)
+    ds = MemmapDetection("/data/cache_voc512")       # indexable, Loader-ready
+    loader = CacheLoader(ds, batch_size, max_boxes)  # vectorized batches
+
+CacheLoader.batches() assembles a batch with one fancy-index per array;
+device_batches() (inherited) overlaps the host gather with device compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+
+from shape_based_object_detection_tpu.data.pipeline import (
+    DetectionBatch, Loader, pad_annotations,
+)
+
+_META = "meta.json"
+
+
+def build_cache(dataset, out_dir: str, max_boxes: int,
+                workers: int = 8) -> str:
+    """Decode/resize every sample once into memmap arrays under ``out_dir``.
+
+    dataset: indexable of (image_u8 (S,S,3), boxes (G,4), labels (G,)) or
+    4-tuples with a crowd flag. Idempotent: an existing complete cache of the
+    same length is reused.
+    """
+    n = len(dataset)
+    meta_path = os.path.join(out_dir, _META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("num_samples") == n and meta.get("max_boxes") == max_boxes:
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    first = dataset[0]
+    s = first[0].shape[0]
+    images = np.lib.format.open_memmap(
+        os.path.join(out_dir, "images.npy"), mode="w+",
+        dtype=np.uint8, shape=(n, s, s, 3))
+    boxes = np.lib.format.open_memmap(
+        os.path.join(out_dir, "boxes.npy"), mode="w+",
+        dtype=np.float32, shape=(n, max_boxes, 4))
+    labels = np.lib.format.open_memmap(
+        os.path.join(out_dir, "labels.npy"), mode="w+",
+        dtype=np.int32, shape=(n, max_boxes))
+    valid = np.lib.format.open_memmap(
+        os.path.join(out_dir, "valid.npy"), mode="w+",
+        dtype=bool, shape=(n, max_boxes))
+    crowd = np.lib.format.open_memmap(
+        os.path.join(out_dir, "crowd.npy"), mode="w+",
+        dtype=bool, shape=(n, max_boxes))
+
+    def write(i: int) -> None:
+        sample = dataset[i]
+        img, bx, lb = sample[:3]
+        b, l, v = pad_annotations(bx, lb, max_boxes)
+        images[i] = img
+        boxes[i] = b
+        labels[i] = l
+        valid[i] = v
+        if len(sample) > 3:
+            g = min(len(sample[3]), max_boxes)
+            crowd[i, :g] = np.asarray(sample[3], bool)[:g]
+
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(write, range(n)))
+    else:
+        for i in range(n):
+            write(i)
+    for arr in (images, boxes, labels, valid, crowd):
+        arr.flush()
+    with open(meta_path, "w") as f:
+        json.dump({"num_samples": n, "image_size": s,
+                   "max_boxes": max_boxes}, f)
+    return out_dir
+
+
+class MemmapDetection:
+    """Indexable view over a built cache — drop-in for Loader / grain.
+
+    Samples come back already padded to the cache's max_boxes (the caller's
+    pad_annotations then only truncates/copies, no shape work)."""
+
+    def __init__(self, cache_dir: str):
+        with open(os.path.join(cache_dir, _META)) as f:
+            self.meta = json.load(f)
+        mm = lambda name: np.load(os.path.join(cache_dir, name),
+                                  mmap_mode="r")
+        self.images = mm("images.npy")
+        self.boxes = mm("boxes.npy")
+        self.labels = mm("labels.npy")
+        self.valid = mm("valid.npy")
+        self.crowd = mm("crowd.npy")
+
+    def __len__(self) -> int:
+        return int(self.meta["num_samples"])
+
+    def __getitem__(self, i: int):
+        v = self.valid[i]
+        return (np.asarray(self.images[i]), np.asarray(self.boxes[i][v]),
+                np.asarray(self.labels[i][v]))
+
+
+class CacheLoader(Loader):
+    """Loader over a MemmapDetection that assembles each batch with ONE
+    vectorized gather per array instead of per-sample Python — the
+    fast path for the pre-decoded cache (no decode, no PIL, no pool)."""
+
+    def __init__(self, cache: MemmapDetection, batch_size: int,
+                 max_boxes: int, **kwargs):
+        kwargs.pop("workers", None)  # the gather path has no worker pool
+        super().__init__(cache, batch_size, max_boxes, workers=0, **kwargs)
+        assert max_boxes <= cache.meta["max_boxes"], (
+            "cache built with smaller max_boxes")
+
+    def batches(self, epoch: int = 0) -> Iterator[DetectionBatch]:
+        ds: MemmapDetection = self.dataset
+        idx = self._epoch_indices(epoch)
+        bs, g = self.batch_size, self.max_boxes
+        for start in range(0, len(idx) - bs + 1, bs):
+            chunk = np.sort(idx[start:start + bs])  # sorted = sequential IO
+            yield DetectionBatch(
+                images=np.asarray(ds.images[chunk]),
+                boxes=np.asarray(ds.boxes[chunk, :g]),
+                labels=np.asarray(ds.labels[chunk, :g]),
+                valid=np.asarray(ds.valid[chunk, :g]),
+                crowd=np.asarray(ds.crowd[chunk, :g]),
+            )

@@ -2,8 +2,11 @@
 
 The built-in ``pipeline.Loader`` is dependency-free; this adapter runs the
 same indexable datasets through Google grain for production ingestion:
-deterministic global shuffle, per-host sharding, worker prefetch — with the
-same contract (padded DetectionBatch dicts ready for the jitted train step).
+deterministic global shuffle, per-host sharding, multi-PROCESS workers
+(``worker_count > 0`` — JPEG decode off the training process entirely),
+prefetch — with the same contract (padded DetectionBatch, ready for the
+jitted train step). The source/transform classes are module-level so grain
+can pickle them into worker processes.
 """
 
 from __future__ import annotations
@@ -17,8 +20,31 @@ from shape_based_object_detection_tpu.data.pipeline import (
 )
 
 
+class PaddedDetectionSource:
+    """Picklable grain RandomAccessDataSource over an indexable dataset of
+    (image_u8, boxes_norm, labels[, crowd]) samples, padding to max_boxes."""
+
+    def __init__(self, dataset, max_boxes: int):
+        self.dataset = dataset
+        self.max_boxes = max_boxes
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, i):
+        sample = self.dataset[int(i)]
+        img, boxes, labels = sample[:3]
+        b, l, v = pad_annotations(boxes, labels, self.max_boxes)
+        cr = np.zeros((self.max_boxes,), bool)
+        if len(sample) > 3:
+            g = min(len(sample[3]), self.max_boxes)
+            cr[:g] = np.asarray(sample[3], bool)[:g]
+        return {"images": img, "boxes": b, "labels": l, "valid": v,
+                "crowd": cr}
+
+
 def make_grain_iterator(
-    dataset,  # indexable: (image_u8, boxes_norm, labels)
+    dataset,  # indexable: (image_u8, boxes_norm, labels[, crowd])
     batch_size: int,
     max_boxes: int,
     seed: int = 0,
@@ -27,17 +53,12 @@ def make_grain_iterator(
     num_hosts: int = 1,
     num_epochs: int | None = None,
     read_threads: int = 2,
+    worker_count: int = 0,
 ) -> Iterator[DetectionBatch]:
+    """``worker_count > 0`` forks that many grain worker processes — the
+    per-sample decode/resize runs outside the training process (the
+    reference's DataLoader(num_workers=N) analog at process granularity)."""
     import grain.python as grain
-
-    class _Source(grain.RandomAccessDataSource):
-        def __len__(self):
-            return len(dataset)
-
-        def __getitem__(self, i):
-            img, boxes, labels = dataset[int(i)]
-            b, l, v = pad_annotations(boxes, labels, max_boxes)
-            return {"images": img, "boxes": b, "labels": l, "valid": v}
 
     sampler = grain.IndexSampler(
         num_records=len(dataset),
@@ -49,10 +70,10 @@ def make_grain_iterator(
         seed=seed,
     )
     loader = grain.DataLoader(
-        data_source=_Source(),
+        data_source=PaddedDetectionSource(dataset, max_boxes),
         sampler=sampler,
         operations=[grain.Batch(batch_size, drop_remainder=True)],
-        worker_count=0,  # in-process; raise for multi-worker hosts
+        worker_count=worker_count,
         read_options=grain.ReadOptions(num_threads=read_threads,
                                        prefetch_buffer_size=batch_size * 2),
     )
@@ -62,4 +83,42 @@ def make_grain_iterator(
             boxes=np.asarray(batch["boxes"]),
             labels=np.asarray(batch["labels"]),
             valid=np.asarray(batch["valid"]),
+            crowd=np.asarray(batch["crowd"]),
         )
+
+
+class GrainLoader:
+    """pipeline.Loader-compatible facade over grain (batches/device_batches),
+    for `train_cli --loader grain --workers N`."""
+
+    def __init__(self, dataset, batch_size: int, max_boxes: int,
+                 seed: int = 0, shuffle: bool = True, host_id: int = 0,
+                 num_hosts: int = 1, workers: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.seed = seed
+        self.shuffle = shuffle
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.worker_count = workers
+        self.prefetch = prefetch
+
+    def batches(self, epoch: int = 0):
+        return make_grain_iterator(
+            self.dataset, self.batch_size, self.max_boxes,
+            seed=self.seed + epoch, shuffle=self.shuffle,
+            host_id=self.host_id, num_hosts=self.num_hosts, num_epochs=1,
+            worker_count=self.worker_count,
+        )
+
+    # reuse the double-buffered device prefetch from the plain Loader
+    # (it only touches self.batches/self.prefetch)
+    from shape_based_object_detection_tpu.data.pipeline import (
+        Loader as _Loader,
+    )
+
+    device_batches = _Loader.device_batches
+
+    def close(self) -> None:
+        pass

@@ -151,3 +151,75 @@ def test_train_cli_val_eval_and_best_checkpoint(tmp_path, capsys):
     template = train_lib.create_train_state(module, variables, cfg)
     restored = BestCheckpointKeeper(str(best_dir)).restore_best(template)
     assert restored is not None and int(restored.step) == meta["step"]
+
+
+@pytest.mark.parametrize("loader", ["grain", "cache"])
+def test_train_cli_alternate_loaders(tmp_path, capsys, loader):
+    """--loader grain (multi-process-capable) and --loader cache (pre-decoded
+    memmap) drive the same train loop end-to-end."""
+    from shape_based_object_detection_tpu.cli.train_cli import main
+
+    main(["--config", "tiny_retinanet", "--steps", "2",
+          "--checkpoint-dir", str(tmp_path / f"ckpt_{loader}"),
+          "--log-every", "1", "--loader", loader,
+          "--cache-dir", str(tmp_path / "dcache"), "--workers", "0"])
+    out = capsys.readouterr().out
+    assert "done at step 2" in out
+
+
+def test_eval_cli_dump_coco_results(tmp_path, capsys):
+    """--dump-results writes standard COCO results JSON (pixel xywh, original
+    category ids) for cross-checking with pycocotools elsewhere."""
+    from PIL import Image
+
+    root = tmp_path / "coco"
+    root.mkdir()
+    ann = {
+        "images": [
+            {"id": 11, "file_name": "a.jpg", "height": 100, "width": 160},
+            {"id": 12, "file_name": "b.jpg", "height": 120, "width": 80},
+        ],
+        "categories": [{"id": c, "name": f"c{c}"} for c in (1, 5, 7, 90)],
+        "annotations": [
+            {"id": 1, "image_id": 11, "category_id": 5,
+             "bbox": [10, 10, 40, 40], "iscrowd": 0, "area": 1600},
+            {"id": 2, "image_id": 12, "category_id": 1,
+             "bbox": [5, 5, 30, 60], "iscrowd": 1, "area": 1800},
+        ],
+    }
+    (root / "ann.json").write_text(json.dumps(ann))
+    rng = np.random.default_rng(0)
+    for name, (h, w) in [("a.jpg", (100, 160)), ("b.jpg", (120, 80))]:
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            root / name)
+
+    from shape_based_object_detection_tpu.cli.eval_cli import main
+
+    out_json = tmp_path / "results.json"
+    main(["--config", "tiny_retinanet", "--dataset", "coco",
+          "--data-root", str(root), "--ann-file", str(root / "ann.json"),
+          "--dump-results", str(out_json), "--max-batches", "1"])
+    out = capsys.readouterr().out
+    assert "wrote" in out
+    results = json.loads(out_json.read_text())
+    assert isinstance(results, list)
+    for r in results[:20]:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        assert r["image_id"] in (11, 12)
+        assert r["category_id"] in (1, 5, 7, 90)
+        assert len(r["bbox"]) == 4 and r["bbox"][2] >= 0 and r["bbox"][3] >= 0
+
+
+def test_draw_detections():
+    from shape_based_object_detection_tpu.utils.viz import draw_detections
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = draw_detections(
+        img,
+        boxes=np.asarray([[8.0, 8.0, 40.0, 40.0]]),
+        scores=np.asarray([0.9]),
+        labels=np.asarray([2]),
+        class_names=["a", "b", "c"],
+    )
+    assert out.shape == img.shape
+    assert out.sum() > 0  # something was drawn

@@ -159,3 +159,48 @@ def test_loader_workers_same_batches():
         np.testing.assert_array_equal(b1.boxes, b2.boxes)
         np.testing.assert_array_equal(b1.labels, b2.labels)
         np.testing.assert_array_equal(b1.valid, b2.valid)
+
+
+def test_memmap_cache_roundtrip(tmp_path):
+    """build_cache + CacheLoader: same sample content as the plain Loader
+    (batch membership identical per epoch; within-batch order may differ —
+    CacheLoader sorts indices for sequential IO)."""
+    from shape_based_object_detection_tpu.data.cache import (
+        CacheLoader, MemmapDetection, build_cache,
+    )
+    from shape_based_object_detection_tpu.data.pipeline import Loader
+    from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
+
+    ds = SyntheticDetection(size=64, num_images=12, num_classes=4)
+    cache_dir = str(tmp_path / "cache")
+    build_cache(ds, cache_dir, max_boxes=6, workers=2)
+    # idempotent rebuild
+    build_cache(ds, cache_dir, max_boxes=6)
+
+    mm = MemmapDetection(cache_dir)
+    assert len(mm) == 12
+    img0, bx0, lb0 = mm[0]
+    ref = ds[0]
+    np.testing.assert_array_equal(img0, ref[0])
+    np.testing.assert_allclose(bx0, ref[1])
+
+    plain = Loader(ds, batch_size=4, max_boxes=6, workers=0)
+    cached = CacheLoader(mm, batch_size=4, max_boxes=6)
+    for b1, b2 in zip(plain.batches(epoch=1), cached.batches(epoch=1)):
+        # same multiset of images per batch (order may be sorted)
+        s1 = sorted(b1.images.sum(axis=(1, 2, 3)).tolist())
+        s2 = sorted(b2.images.sum(axis=(1, 2, 3)).tolist())
+        assert s1 == s2
+        assert b2.crowd.shape == b2.valid.shape
+
+
+def test_grain_loader_facade():
+    from shape_based_object_detection_tpu.data.grain_pipeline import GrainLoader
+    from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
+
+    ds = SyntheticDetection(size=64, num_images=8, num_classes=4)
+    gl = GrainLoader(ds, batch_size=4, max_boxes=6, workers=0)
+    batches = list(gl.batches(epoch=0))
+    assert len(batches) == 2
+    assert batches[0].images.shape == (4, 64, 64, 3)
+    assert batches[0].crowd.shape == (4, 6)

@@ -95,18 +95,17 @@ def test_ssd300_full_width_parity():
 
 @pytest.mark.slow
 def test_retinanet_r50_512_full_width_parity():
-    cfg = dataclasses.replace(
-        config.RETINANET_R50_512, precision="highest",
-        detect=dataclasses.replace(config.RETINANET_R50_512.detect,
-                                   approx_topk=False))
-    tm = TM.TorchRetinaNet(variant="resnet50", num_classes=cfg.num_classes,
-                           width_mult=1.0, fpn_channels=cfg.fpn_channels,
-                           head_depth=cfg.head_depth)
-    # spread the logits past the score threshold (see tiny parity fixture)
+    base_cfg = dataclasses.replace(config.RETINANET_R50_512,
+                                   precision="highest")
+    tm = TM.TorchRetinaNet(variant="resnet50",
+                           num_classes=base_cfg.num_classes,
+                           width_mult=1.0, fpn_channels=base_cfg.fpn_channels,
+                           head_depth=base_cfg.head_depth)
+    # spread the logits so scores are not near-ties (see tiny parity fixture)
     with torch.no_grad():
         tm.cls_head.predict.weight.mul_(40.0)
     tm.eval()
-    module, params, anchors = build_model(cfg)
+    module, params, anchors = build_model(base_cfg)
     params = torch_state_dict_to_flax(tm.state_dict(), params)
 
     rng = np.random.default_rng(43)
@@ -118,4 +117,17 @@ def test_retinanet_r50_512_full_width_parity():
                                atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(box_j), box_t.numpy(),
                                atol=5e-4, rtol=1e-3)
+
+    # Full-width random weights concentrate sigmoid scores near the pi=0.01
+    # bias: the default 0.05 threshold passes nothing, and a tiny fixed
+    # threshold would pass ~all 49k x 80 pairs and blow up the O(n^2)
+    # reference NMS. Compare at a data-derived threshold both pipelines
+    # share that admits ~400 candidates (between the 400th and 401st
+    # highest scores, so no boundary ties).
+    flat = np.sort(torch.sigmoid(cls_t[0]).numpy().ravel())[::-1]
+    thr = float((flat[399] + flat[400]) / 2.0)
+    cfg = dataclasses.replace(
+        base_cfg,
+        detect=dataclasses.replace(base_cfg.detect, approx_topk=False,
+                                   score_threshold=thr))
     _detect_parity(cfg, cls_t, box_t, anchors, sigmoid=True)
