@@ -211,6 +211,9 @@ def main(argv=None):
         epoch += 1
     ckpt.save(state, step)
     ckpt.wait()
+    loader.close()
+    if val_loader is not None:
+        val_loader.close()
     print(f"done at step {step}")
 
 

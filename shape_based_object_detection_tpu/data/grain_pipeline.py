@@ -89,7 +89,13 @@ def make_grain_iterator(
 
 class GrainLoader:
     """pipeline.Loader-compatible facade over grain (batches/device_batches),
-    for `train_cli --loader grain --workers N`."""
+    for `train_cli --loader grain --workers N`.
+
+    One persistent grain DataLoader/iterator serves every epoch — worker
+    processes spin up ONCE (spinning them up per epoch costs tens of
+    seconds and starves the device); grain's sampler reshuffles across its
+    internal epochs. ``batches(epoch)`` yields one epoch's worth of batches
+    from the shared stream."""
 
     def __init__(self, dataset, batch_size: int, max_boxes: int,
                  seed: int = 0, shuffle: bool = True, host_id: int = 0,
@@ -103,14 +109,25 @@ class GrainLoader:
         self.num_hosts = num_hosts
         self.worker_count = workers
         self.prefetch = prefetch
+        self._stream = None
+
+    def _ensure_stream(self):
+        if self._stream is None:
+            self._stream = iter(make_grain_iterator(
+                self.dataset, self.batch_size, self.max_boxes,
+                seed=self.seed, shuffle=self.shuffle,
+                host_id=self.host_id, num_hosts=self.num_hosts,
+                num_epochs=None,  # endless: epochs are consumed in slices
+                worker_count=self.worker_count,
+            ))
+        return self._stream
 
     def batches(self, epoch: int = 0):
-        return make_grain_iterator(
-            self.dataset, self.batch_size, self.max_boxes,
-            seed=self.seed + epoch, shuffle=self.shuffle,
-            host_id=self.host_id, num_hosts=self.num_hosts, num_epochs=1,
-            worker_count=self.worker_count,
-        )
+        del epoch  # grain's sampler owns the shuffle schedule
+        stream = self._ensure_stream()
+        n = (len(self.dataset) // self.num_hosts) // self.batch_size
+        for _ in range(max(1, n)):
+            yield next(stream)
 
     # reuse the double-buffered device prefetch from the plain Loader
     # (it only touches self.batches/self.prefetch)
@@ -121,4 +138,12 @@ class GrainLoader:
     device_batches = _Loader.device_batches
 
     def close(self) -> None:
-        pass
+        stream, self._stream = self._stream, None
+        if stream is not None:
+            # The generator holds the grain DataLoader (and its worker
+            # processes / shared-memory blocks); .close() unwinds it so
+            # grain tears them down instead of leaking at interpreter exit.
+            stream.close()
+            import gc
+
+            gc.collect()
