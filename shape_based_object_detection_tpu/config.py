@@ -53,6 +53,10 @@ class MatchConfig:
     force_match_for_each_gt: bool = True
     # torchvision-style alias for the same mechanism (either flag enables it)
     allow_low_quality: bool = False
+    # match-reduction backend: "auto" (Pallas kernel on TPU, dense jnp
+    # elsewhere), "pallas", or "jnp" — same convention as ModelConfig's NMS
+    # backend; both produce identical assignments (tests cross-check)
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,27 +34,21 @@ class MatchResult(NamedTuple):
     quality: jnp.ndarray  # (A,) matched quality (debug/metrics)
 
 
-def match_anchors(
+def _assign_from_reductions(
     anchors_cxcywh: jnp.ndarray,  # (A, 4)
-    gt_boxes_xyxy: jnp.ndarray,  # (G, 4) normalized, padded
-    gt_labels: jnp.ndarray,  # (G,) int32 in [1, C], padding arbitrary
+    gt_boxes_xyxy: jnp.ndarray,  # (G, 4)
+    gt_labels: jnp.ndarray,  # (G,)
     gt_valid: jnp.ndarray,  # (G,) bool
+    best_q: jnp.ndarray,  # (A,) max_g quality
+    best_g: jnp.ndarray,  # (A,) argmax_g quality
+    gt_best_a: jnp.ndarray,  # (G,) argmax_a quality (per-GT best anchor)
     cfg: MatchConfig,
-    variances=(0.1, 0.2),
+    variances,
 ) -> MatchResult:
-    anchors_xyxy = box_ops.cxcywh_to_xyxy(anchors_cxcywh)
+    """O(A) epilogue shared by the dense-jnp and Pallas reduction paths:
+    force-match scatter, thresholding with ignore band, offset encoding."""
     gt_cxcywh = box_ops.xyxy_to_cxcywh(gt_boxes_xyxy)
-
-    iou = box_ops.iou_matrix(anchors_xyxy, gt_boxes_xyxy)  # (A, G)
-    if cfg.shape_weight > 0.0:
-        sim = box_ops.shape_similarity(anchors_cxcywh, gt_cxcywh, cfg.shape_tau)
-        quality = (1.0 - cfg.shape_weight) * iou + cfg.shape_weight * sim
-    else:
-        quality = iou
-    quality = jnp.where(gt_valid[None, :], quality, -1.0)
-
-    best_q = jnp.max(quality, axis=1)  # (A,)
-    best_g = jnp.argmax(quality, axis=1).astype(jnp.int32)  # (A,)
+    num_anchors = anchors_cxcywh.shape[0]
 
     # allow_low_quality (torchvision naming) and force_match_for_each_gt (SSD
     # naming) are the same mechanism: every GT claims its best anchor even
@@ -63,9 +57,8 @@ def match_anchors(
         # Each valid GT claims its single best anchor, overriding thresholds.
         # Later GTs win scatter conflicts (matches the family's sequential
         # per-GT loop semantics).
-        a_star = jnp.argmax(quality, axis=0).astype(jnp.int32)  # (G,)
-        g_ids = jnp.arange(quality.shape[1], dtype=jnp.int32)
-        safe_a = jnp.where(gt_valid, a_star, quality.shape[0])  # drop invalid
+        g_ids = jnp.arange(gt_labels.shape[0], dtype=jnp.int32)
+        safe_a = jnp.where(gt_valid, gt_best_a, num_anchors)  # drop invalid
         best_g = best_g.at[safe_a].set(g_ids, mode="drop")
         best_q = best_q.at[safe_a].set(2.0, mode="drop")  # above any threshold
 
@@ -89,6 +82,40 @@ def match_anchors(
     )
 
 
+def _quality_matrix(anchors_cxcywh, gt_boxes_xyxy, gt_valid, cfg):
+    anchors_xyxy = box_ops.cxcywh_to_xyxy(anchors_cxcywh)
+    iou = box_ops.iou_matrix(anchors_xyxy, gt_boxes_xyxy)  # (A, G)
+    if cfg.shape_weight > 0.0:
+        gt_cxcywh = box_ops.xyxy_to_cxcywh(gt_boxes_xyxy)
+        sim = box_ops.shape_similarity(anchors_cxcywh, gt_cxcywh, cfg.shape_tau)
+        quality = (1.0 - cfg.shape_weight) * iou + cfg.shape_weight * sim
+    else:
+        quality = iou
+    return jnp.where(gt_valid[None, :], quality, -1.0)
+
+
+def match_anchors(
+    anchors_cxcywh: jnp.ndarray,  # (A, 4)
+    gt_boxes_xyxy: jnp.ndarray,  # (G, 4) normalized, padded
+    gt_labels: jnp.ndarray,  # (G,) int32 in [1, C], padding arbitrary
+    gt_valid: jnp.ndarray,  # (G,) bool
+    cfg: MatchConfig,
+    variances=(0.1, 0.2),
+) -> MatchResult:
+    """Dense-jnp single-sample matcher (the reference semantics)."""
+    quality = _quality_matrix(anchors_cxcywh, gt_boxes_xyxy, gt_valid, cfg)
+    best_q = jnp.max(quality, axis=1)  # (A,)
+    best_g = jnp.argmax(quality, axis=1).astype(jnp.int32)  # (A,)
+    a_star = jnp.argmax(quality, axis=0).astype(jnp.int32)  # (G,)
+    return _assign_from_reductions(
+        anchors_cxcywh, gt_boxes_xyxy, gt_labels, gt_valid,
+        best_q, best_g, a_star, cfg, variances)
+
+
+def _use_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def match_batch(
     anchors_cxcywh: jnp.ndarray,  # (A, 4)
     gt_boxes_xyxy: jnp.ndarray,  # (B, G, 4)
@@ -97,7 +124,51 @@ def match_batch(
     cfg: MatchConfig,
     variances=(0.1, 0.2),
 ) -> MatchResult:
-    """vmap of :func:`match_anchors` over the batch dimension."""
+    """Batched matcher. ``cfg.backend`` selects the reduction path: the
+    fused Pallas kernel (ops/matching_pallas.py — no (A, G) matrix in HBM)
+    on TPU, or the dense-jnp vmap elsewhere; both produce identical
+    assignments."""
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if _use_pallas_default() else "jnp"
+    if backend == "pallas":
+        from shape_based_object_detection_tpu.ops.matching_pallas import (
+            match_reductions_pallas,
+        )
+
+        best_q, best_g, gt_a, m_label, m_reg = match_reductions_pallas(
+            anchors_cxcywh, gt_boxes_xyxy, gt_labels, gt_valid,
+            shape_weight=cfg.shape_weight, tau=cfg.shape_tau,
+            variances=tuple(variances),
+            interpret=not _use_pallas_default())
+        num_anchors = anchors_cxcywh.shape[0]
+
+        def assemble(gt_b, gt_l, gt_v, bq, bg, ga, lbl, reg):
+            # Force-match fix-ups touch at most G anchors, so patch the
+            # kernel's matched values with O(G) scatters (the kernel already
+            # produced labels/offsets for the argmax assignment; vmapped
+            # full-width gathers are the slow path this backend avoids).
+            if cfg.force_match_for_each_gt or cfg.allow_low_quality:
+                g_ids = jnp.arange(gt_l.shape[0], dtype=jnp.int32)
+                safe_a = jnp.where(gt_v, ga, num_anchors)  # drop invalid
+                bg = bg.at[safe_a].set(g_ids, mode="drop")
+                bq = bq.at[safe_a].set(2.0, mode="drop")
+                lbl = lbl.at[safe_a].set(gt_l.astype(jnp.int32), mode="drop")
+                claimed = anchors_cxcywh[jnp.clip(ga, 0, num_anchors - 1)]
+                enc = box_ops.encode_boxes(
+                    box_ops.xyxy_to_cxcywh(gt_b), claimed, variances)
+                reg = reg.at[safe_a].set(enc, mode="drop")
+            positive = bq >= cfg.pos_threshold
+            ignore = jnp.logical_and(bq >= cfg.neg_threshold,
+                                     jnp.logical_not(positive))
+            cls_targets = jnp.where(positive, lbl, 0)
+            cls_targets = jnp.where(ignore, -1, cls_targets)
+            reg = jnp.where(positive[:, None], reg, 0.0)
+            return MatchResult(matched_gt_idx=bg, cls_targets=cls_targets,
+                               reg_targets=reg, positive=positive, quality=bq)
+
+        return jax.vmap(assemble)(gt_boxes_xyxy, gt_labels, gt_valid,
+                                  best_q, best_g, gt_a, m_label, m_reg)
     return jax.vmap(
         lambda b, l, v: match_anchors(anchors_cxcywh, b, l, v, cfg, variances)
     )(gt_boxes_xyxy, gt_labels, gt_valid)
