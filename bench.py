@@ -17,7 +17,10 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
-BATCH = 8
+# TPU-side batch: 16 is the measured throughput knee for this program
+# (tools/bench_matrix.py: b8 770, b16 ~805, b32 767 img/s); the torch-CPU
+# denominator below still uses the golden's own best accounting.
+BATCH = 16
 SIZE = 512
 
 

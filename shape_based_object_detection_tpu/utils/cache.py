@@ -11,7 +11,9 @@ call multiple times; honors an explicit JAX_COMPILATION_CACHE_DIR env var.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 _DEFAULT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -21,12 +23,40 @@ _DEFAULT_DIR = os.path.join(
 _enabled = False
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU feature set.
+
+    The JAX cache key does NOT cover the host CPU features baked into
+    XLA:CPU AOT executables, and the cache directory can outlive one
+    machine (shared filesystems, checkpointed containers). Loading a CPU
+    executable AOT-compiled on a machine with a different feature set
+    (e.g. AMX/AVX-512 variants) is at best a loud warning and at worst
+    SILENT WRONG RESULTS — observed 2026-08-17 as an NMS mask computed
+    incorrectly by a cache entry from a prior host ("+prefer-no-scatter is
+    not supported on the host machine"). Namespacing the cache by a CPU
+    fingerprint makes entries machine-compatible by construction; a new
+    machine simply starts a fresh namespace.
+    """
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}|{flags}"
+    return hashlib.md5(key.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     """Turn on the on-disk XLA executable cache. Returns the directory used."""
     global _enabled
     import jax
 
-    path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
+    base = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
+    path = os.path.join(base, f"host-{_host_fingerprint()}")
     if _enabled:
         return path
     os.makedirs(path, exist_ok=True)

@@ -42,9 +42,14 @@ def test_encode_decode_inverse(gt, anchors):
 @given(_boxes_strategy(10),
        hnp.arrays(np.float64, (10,), elements=st.floats(0.01, 1.0)))
 def test_nms_keeps_top_scorer_and_no_overlaps(boxes, scores):
-    keep = np.asarray(N.nms_mask(jnp.asarray(boxes),
-                                 jnp.asarray(scores.astype(np.float32)), 0.5))
-    # the global top scorer always survives
+    # Cast BEFORE computing the reference argmax: distinct float64 scores can
+    # collapse to ties in float32 (hypothesis found 0.9999999999999999 vs 1.0),
+    # and then the f64 argmax names a different element than the (stable,
+    # first-index-wins) NMS tie-break over the f32 values the kernel sees.
+    scores = scores.astype(np.float32)
+    keep = np.asarray(N.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    # the global top scorer always survives (ties: first max index, matching
+    # the stable descending sort inside greedy_nms)
     assert keep[np.argmax(scores)]
     # no two kept boxes overlap >= threshold
     kept = boxes[keep]
@@ -98,3 +103,17 @@ def test_soft_nms_scores_monotone_decayed(boxes, seed):
     idx = np.asarray(res.indices)[ok]
     assert (sc <= scores[idx] + 1e-6).all()
     assert (np.diff(sc) <= 1e-6).all()
+
+
+def test_nms_tie_break_is_stable_first_index():
+    """Regression: distinct f64 scores that collapse to a tie in f32 (found by
+    hypothesis: 0.9999999999999999 vs 1.0) must resolve to the FIRST index,
+    matching jnp's stable descending sort — and the pre-cast argmax must agree."""
+    boxes = np.tile(np.array([[0.25, 0.25, 0.75, 0.75]], np.float32), (10, 1))
+    scores64 = np.ones((10,), np.float64)
+    scores64[0] = 0.9999999999999999  # < 1.0 in f64, == 1.0f in f32
+    scores = scores64.astype(np.float32)
+    assert (scores == scores[0]).all()  # the cast collapses the distinction
+    keep = np.asarray(N.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    assert keep.tolist() == [True] + [False] * 9
+    assert keep[np.argmax(scores)]
