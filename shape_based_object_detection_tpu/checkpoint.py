@@ -48,7 +48,7 @@ class CheckpointManager:
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template)
             )
-        except Exception:
+        except Exception as first_err:
             # orbax StandardRestore raises on tree-structure mismatch before
             # any values are read; toggle the EMA subtree and retry once.
             alt = template.replace(
@@ -58,9 +58,16 @@ class CheckpointManager:
                     else jax.tree_util.tree_map(lambda x: x, template.params)
                 )
             )
-            return self._mgr.restore(
-                step, args=ocp.args.StandardRestore(alt)
-            )
+            try:
+                return self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(alt)
+                )
+            except Exception:
+                # Both templates failed: this is NOT an EMA-structure
+                # mismatch (corrupt/partial checkpoint, IO error, ...) —
+                # surface the ORIGINAL failure, not the retry's misleading
+                # tree-structure complaint.
+                raise first_err
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

@@ -57,29 +57,46 @@ def main(argv=None):
 
     detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
     # COCO protocol: crowd GT regions ride along as ignore regions, and the
-    # area strata (32^2/96^2 px) are computed in network-input pixels.
+    # area strata (32^2/96^2 px) follow pycocotools — ORIGINAL-image
+    # annotation pixels, via per-image area factors when the dataset knows
+    # its original sizes (COCO does); otherwise the uniform
+    # network-input-pixel fallback applies.
     dataset = build_dataset(cfg, args,
                             include_crowd=(args.protocol == "coco"))
     loader = Loader(dataset, cfg.data.batch_size, cfg.data.max_boxes,
                     shuffle=False)
-    ev = Evaluator(area_scale=cfg.model.image_size)
     coco_results = []
     is_coco_ds = hasattr(dataset, "coco")
+    ev = Evaluator(area_scale=1.0 if is_coco_ds else cfg.model.image_size)
+
+    def batch_area_factors(start: int, count: int):
+        # loader is unshuffled: batch rows map to dataset rows
+        # [start, start + count)
+        if not is_coco_ds:
+            return None
+        out = np.empty((count,), np.float64)
+        for b in range(count):
+            im = dataset.images[start + b]
+            w, h = float(im["width"]), float(im["height"])
+            out[b] = max(w, h) ** 2 if cfg.data.letterbox else w * h
+        return out
+
     sample_idx = 0
     for i, batch in enumerate(loader.batches()):
         det = detect(variables, jnp.asarray(batch.images))
         # detect() labels are 0-based foreground ids; GT labels are 1-based
         ev.add_batch(det, batch.boxes, batch.labels - 1, batch.valid,
-                     gt_crowd=batch.crowd)
+                     gt_crowd=batch.crowd,
+                     area_factors=batch_area_factors(
+                         sample_idx, batch.images.shape[0]))
         if args.dump_results and is_coco_ds:
-            # loader is unshuffled, so batch b covers dataset rows
-            # [sample_idx, sample_idx + B): recover original image ids/sizes
+            # recover original image ids/sizes for the same dataset rows
             from shape_based_object_detection_tpu.utils.image import (
                 boxes_norm_to_original_px,
             )
 
             for b in range(batch.images.shape[0]):
-                im = dataset.images[sample_idx]
+                im = dataset.images[sample_idx + b]
                 v = np.asarray(det.valid[b])
                 boxes_px = boxes_norm_to_original_px(
                     np.asarray(det.boxes[b])[v], im["height"], im["width"],
@@ -96,7 +113,7 @@ def main(argv=None):
                                  round(x1 - x0, 2), round(y1 - y0, 2)],
                         "score": round(float(score), 5),
                     })
-                sample_idx += 1
+        sample_idx += batch.images.shape[0]
         if args.max_batches and i + 1 >= args.max_batches:
             break
     if args.dump_results:

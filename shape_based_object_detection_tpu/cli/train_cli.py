@@ -116,6 +116,23 @@ def main(argv=None):
     restored = ckpt.restore_latest(state)
     if restored is not None:
         state = restored
+        # Reconcile the EMA subtree with THIS run's config: restore_latest
+        # structure-matches whatever the checkpoint held, which can disagree
+        # with --ema-decay (resuming a non-EMA checkpoint with EMA on, or
+        # vice versa). train_step requires ema_params iff ema_decay > 0.
+        if cfg.train.ema_decay > 0 and state.ema_params is None:
+            # real copies, not aliases: the donated train_step must not see
+            # the same buffer as both params and ema_params
+            import jax.numpy as jnp
+
+            state = state.replace(
+                ema_params=jax.tree_util.tree_map(jnp.copy, state.params))
+            print("checkpoint had no EMA weights; starting EMA from the "
+                  "restored params")
+        elif cfg.train.ema_decay <= 0 and state.ema_params is not None:
+            state = state.replace(ema_params=None)
+            print("checkpoint had EMA weights but ema_decay=0; dropping them "
+                  "for this run")
         print(f"restored checkpoint at step {int(state.step)}")
     # place state on the mesh (restored checkpoints land on one device)
     state = jax.device_put(state, replicated_sharding(mesh))
@@ -171,11 +188,20 @@ def main(argv=None):
         best_keeper = BestCheckpointKeeper(
             os.path.join(cfg.train.checkpoint_dir, "best"))
 
+    # Train-sample eval (no --val-root) gets its OWN small Loader: reusing
+    # the training loader would race its in-flight device_batches() producer
+    # thread on loaders with a shared stream (grain) and silently consume
+    # training batches.
+    train_sample_loader = None
+    if args.eval_every and val_loader is None:
+        train_sample_loader = Loader(dataset, per_host_bs, cfg.data.max_boxes,
+                                     shuffle=False, workers=0)
+
     def run_eval(state):
         from shape_based_object_detection_tpu.eval import Evaluator
 
         use_val = val_loader is not None
-        src = val_loader if use_val else loader
+        src = val_loader if use_val else train_sample_loader
         cap = args.val_batches if (use_val and args.val_batches) else (
             0 if use_val else 5)
         ev = Evaluator(area_scale=cfg.model.image_size)
@@ -214,6 +240,8 @@ def main(argv=None):
     loader.close()
     if val_loader is not None:
         val_loader.close()
+    if train_sample_loader is not None:
+        train_sample_loader.close()
     print(f"done at step {step}")
 
 

@@ -29,6 +29,31 @@ from shape_based_object_detection_tpu.data.pipeline import (
 )
 
 _META = "meta.json"
+_LOCK = ".build_lock"
+_LOCK_STALE_S = 600.0
+
+
+def _source_fingerprint(dataset, max_boxes: int) -> dict:
+    """Everything that determines the cached bytes. A cache is reusable ONLY
+    if all of it matches — num_samples alone is not enough (the same dataset
+    re-opened with a different image_size or letterbox setting has the same
+    length but different pixels/coordinates)."""
+    return {
+        "num_samples": len(dataset),
+        "max_boxes": max_boxes,
+        "dataset_type": type(dataset).__name__,
+        "image_size": getattr(dataset, "image_size",
+                              getattr(dataset, "size", None)),
+        "letterbox": getattr(dataset, "letterbox", None),
+    }
+
+
+def _cache_valid(meta_path: str, fingerprint: dict) -> bool:
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return meta.get("source") == fingerprint
 
 
 def build_cache(dataset, out_dir: str, max_boxes: int,
@@ -36,17 +61,56 @@ def build_cache(dataset, out_dir: str, max_boxes: int,
     """Decode/resize every sample once into memmap arrays under ``out_dir``.
 
     dataset: indexable of (image_u8 (S,S,3), boxes (G,4), labels (G,)) or
-    4-tuples with a crowd flag. Idempotent: an existing complete cache of the
-    same length is reused.
+    4-tuples with a crowd flag. Idempotent: an existing complete cache built
+    from the same source fingerprint (length, max_boxes, dataset type,
+    image_size, letterbox) is reused; anything else is rebuilt. Safe under
+    concurrent callers (multi-host training on a shared filesystem): one
+    process takes an exclusive lockfile and builds while the rest wait for
+    the finished cache.
     """
+    import time
+
     n = len(dataset)
     meta_path = os.path.join(out_dir, _META)
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if meta.get("num_samples") == n and meta.get("max_boxes") == max_boxes:
-            return out_dir
+    fingerprint = _source_fingerprint(dataset, max_boxes)
     os.makedirs(out_dir, exist_ok=True)
+    lock_path = os.path.join(out_dir, _LOCK)
+    while True:
+        if _cache_valid(meta_path, fingerprint):
+            return out_dir
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break  # we are the builder
+        except FileExistsError:
+            # another process is building; a lock untouched for a long time
+            # means its builder died — steal it
+            try:
+                if time.time() - os.path.getmtime(lock_path) > _LOCK_STALE_S:
+                    os.unlink(lock_path)
+                    continue
+            except OSError:
+                continue
+            time.sleep(1.0)
+
+    try:
+        return _build_cache_locked(dataset, out_dir, max_boxes, workers,
+                                   meta_path, lock_path, fingerprint)
+    finally:
+        try:
+            os.unlink(lock_path)
+        except OSError:
+            pass
+
+
+def _build_cache_locked(dataset, out_dir: str, max_boxes: int, workers: int,
+                        meta_path: str, lock_path: str,
+                        fingerprint: dict) -> str:
+    n = len(dataset)
+    # a stale meta from a different fingerprint must not look "complete" if
+    # this build crashes halfway
+    if os.path.exists(meta_path):
+        os.unlink(meta_path)
 
     first = dataset[0]
     s = first[0].shape[0]
@@ -77,6 +141,8 @@ def build_cache(dataset, out_dir: str, max_boxes: int,
         if len(sample) > 3:
             g = min(len(sample[3]), max_boxes)
             crowd[i, :g] = np.asarray(sample[3], bool)[:g]
+        if i % 256 == 0:
+            os.utime(lock_path)  # keep the lock fresh for waiting processes
 
     if workers > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -90,7 +156,7 @@ def build_cache(dataset, out_dir: str, max_boxes: int,
         arr.flush()
     with open(meta_path, "w") as f:
         json.dump({"num_samples": n, "image_size": s,
-                   "max_boxes": max_boxes}, f)
+                   "max_boxes": max_boxes, "source": fingerprint}, f)
     return out_dir
 
 

@@ -18,9 +18,12 @@ The per-class greedy matching loop — the host-side hot spot at COCO scale —
 has a native C++ fast path (csrc/ap_matcher.cpp, identical semantics,
 cross-checked in tests/test_native_ap.py).
 
-Area thresholds follow COCO (32^2 / 96^2 in pixels): pass ``area_scale`` (the
-network input size) when boxes are in normalized [0,1] coordinates so areas
-compare in input-pixel units.
+Area thresholds follow COCO (32^2 / 96^2 in ORIGINAL-image pixels, like
+pycocotools' ann['area']): give each GroundTruthRecord a per-image
+``area_factor`` (original px^2 per unit of normalized box area — W*H for a
+square resize, max(W, H)^2 for letterbox; Evaluator.add_batch's
+``area_factors``). ``area_scale`` remains as a uniform fallback for callers
+whose images are natively the network input size (synthetic data, tests).
 """
 
 from __future__ import annotations
@@ -53,6 +56,12 @@ class GroundTruthRecord:
     boxes: np.ndarray  # (G, 4) xyxy
     labels: np.ndarray  # (G,) int
     crowd: Optional[np.ndarray] = None  # (G,) bool; None = no crowd regions
+    # px^2 per unit of _box_areas(boxes) for THIS image. pycocotools strata
+    # use annotation areas in ORIGINAL-image pixels, so normalized boxes on a
+    # resized canvas need the per-image original area back: W*H for a square
+    # resize, max(W, H)^2 for letterbox. 1.0 when boxes are already in
+    # original pixels.
+    area_factor: float = 1.0
 
 
 def _iou_matrix_np(a: np.ndarray, b: np.ndarray,
@@ -83,8 +92,9 @@ def _match_class(
     gts: Dict[int, np.ndarray],  # image_id -> (G, 4)
     iou_thresholds: np.ndarray,
     crowd: Optional[Dict[int, np.ndarray]] = None,  # image_id -> (G,) bool
-    area_range: Optional[Tuple[float, float]] = None,  # in box-area units
+    area_range: Optional[Tuple[float, float]] = None,  # in px^2
     max_det: Optional[int] = None,  # per image (per class)
+    area_factors: Optional[Dict[int, float]] = None,  # image_id -> px^2/unit
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """COCOeval-protocol greedy matching for one class.
 
@@ -99,6 +109,10 @@ def _match_class(
     once a non-ignored match is held.
     """
     # per-image GT state
+    def _factor(img: int) -> float:
+        return (area_factors.get(img, 1.0)
+                if area_factors is not None else 1.0)
+
     gt_state = {}
     n_gt = 0
     for img, boxes in gts.items():
@@ -108,7 +122,7 @@ def _match_class(
               else np.zeros(len(boxes), bool))
         gig = cr.copy()
         if area_range is not None:
-            a = _box_areas(boxes)
+            a = _box_areas(boxes) * _factor(img)
             gig |= (a < area_range[0]) | (a > area_range[1])
         n_gt += int((~gig).sum())
         # scan order: non-ignored GTs first (stable within groups)
@@ -151,6 +165,8 @@ def _match_class(
         det_imgs = np.asarray([d[0] for d in dets], np.int32)
         if area_range is not None:
             da = _box_areas(det_boxes)
+            if area_factors is not None:
+                da = da * np.asarray([_factor(int(i)) for i in det_imgs])
             det_oob = ((da < area_range[0]) | (da > area_range[1])).astype(
                 np.uint8)
         else:
@@ -170,7 +186,7 @@ def _match_class(
     for i, (img, box, _) in enumerate(dets):
         box = np.asarray(box, np.float32)
         if area_range is not None:
-            a = float(_box_areas(box[None])[0])
+            a = float(_box_areas(box[None])[0]) * _factor(img)
             det_oob_i = a < area_range[0] or a > area_range[1]
         else:
             det_oob_i = False
@@ -294,14 +310,19 @@ def coco_map(
     """Full COCOeval-bbox metric suite.
 
     Returns {'mAP', 'AP50', 'AP75', 'APsmall', 'APmedium', 'APlarge',
-    'AR1', 'AR10', 'AR100', 'per_class'}. ``area_scale`` converts box areas
-    to pixels for the 32^2/96^2 strata (pass the network input size when
-    boxes are normalized to [0, 1])."""
+    'AR1', 'AR10', 'AR100', 'per_class'}.
+
+    Area strata follow pycocotools: 32^2/96^2 thresholds against annotation
+    areas in ORIGINAL-image pixels. The per-image conversion comes from each
+    GroundTruthRecord's ``area_factor`` (times ``area_scale``^2, a uniform
+    fallback for callers whose boxes are normalized to a square canvas of
+    known size and whose images were natively that size)."""
     classes, dets_by_class, gts_by_class, crowd_by_class = _group_by_class(
         detections, ground_truth)
     s2 = float(area_scale) ** 2
-    # area ranges in the caller's box units
-    strata = [(name, lo / s2, hi / s2) for name, lo, hi in COCO_AREA_RANGES]
+    area_factors = {g.image_id: float(g.area_factor) * s2
+                    for g in ground_truth}
+    strata = list(COCO_AREA_RANGES)  # px^2
     md_max = max(max_dets)
 
     per_class: Dict[int, np.ndarray] = {}
@@ -311,7 +332,8 @@ def coco_map(
         dets, gts, crs = dets_by_class[c], gts_by_class[c], crowd_by_class[c]
         tp, ig, scores, n_gt = _match_class(
             dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
-            area_range=(0.0, 1e10), max_det=md_max)
+            area_range=(0.0, 1e10), max_det=md_max,
+            area_factors=area_factors)
         aps = _ap_from_tp(tp, n_gt, "101point", ig)
         per_class[c] = aps
         all_aps.append(aps)
@@ -321,12 +343,14 @@ def coco_map(
                 continue
             tp_m, ig_m, _, n_gt_m = _match_class(
                 dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
-                area_range=(0.0, 1e10), max_det=md)
+                area_range=(0.0, 1e10), max_det=md,
+                area_factors=area_factors)
             recalls[md].append(_recall_from_tp(tp_m, n_gt_m, ig_m))
         for name, lo, hi in strata:
             tp_a, ig_a, _, n_gt_a = _match_class(
                 dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
-                area_range=(lo, hi), max_det=md_max)
+                area_range=(lo, hi), max_det=md_max,
+                area_factors=area_factors)
             strat_aps[name].append(_ap_from_tp(tp_a, n_gt_a, "101point", ig_a))
 
     if not all_aps:
@@ -339,18 +363,12 @@ def coco_map(
 
     def _nanmean(arr, axis=None):
         # NaN marks "no GT in this class/stratum" (pycocotools -1); an
-        # all-NaN slice stays NaN without numpy's empty-slice warning
-        arr = np.asarray(arr, float)
-        if np.isnan(arr).all():
-            return np.nan if axis is None else np.full(arr.shape[1 - axis]
-                                                       if arr.ndim == 2 else (),
-                                                       np.nan)
-        with np.errstate(invalid="ignore"):
-            import warnings
+        # all-NaN slice stays NaN, minus numpy's empty-slice warning
+        import warnings
 
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore", RuntimeWarning)
-                return np.nanmean(arr, axis=axis)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            return np.nanmean(np.asarray(arr, float), axis=axis)
 
     stacked = np.stack(all_aps)  # (C, T)
     mean_per_t = _nanmean(stacked, axis=0)
@@ -404,9 +422,13 @@ class Evaluator:
         self._next_id = 0
 
     def add_batch(self, det, gt_boxes, gt_labels, gt_valid,
-                  gt_crowd=None) -> None:
+                  gt_crowd=None, area_factors=None) -> None:
         """det: ops.nms.Detections (device or numpy); gt_*: (B, G, ...).
-        ``gt_crowd`` (B, G) bool marks crowd/ignore GT regions."""
+        ``gt_crowd`` (B, G) bool marks crowd/ignore GT regions.
+        ``area_factors`` (B,): original-image px^2 per normalized box-area
+        unit (W*H for square resize, max(W, H)^2 for letterbox) — feeds the
+        COCOeval area strata in true annotation pixels. When omitted, the
+        uniform ``area_scale``^2 fallback applies."""
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)
@@ -426,7 +448,9 @@ class Evaluator:
             self.ground_truth.append(
                 GroundTruthRecord(
                     img_id, gt_boxes[b][gv], gt_labels[b][gv],
-                    None if gt_crowd is None else gt_crowd[b][gv])
+                    None if gt_crowd is None else gt_crowd[b][gv],
+                    area_factor=(float(area_factors[b])
+                                 if area_factors is not None else 1.0))
             )
 
     def coco(self) -> Dict[str, float]:

@@ -153,10 +153,20 @@ def match_batch(
                 safe_a = jnp.where(gt_v, ga, num_anchors)  # drop invalid
                 bg = bg.at[safe_a].set(g_ids, mode="drop")
                 bq = bq.at[safe_a].set(2.0, mode="drop")
-                lbl = lbl.at[safe_a].set(gt_l.astype(jnp.int32), mode="drop")
+                # Derive label/offsets from the POST-scatter winner at each
+                # claimed anchor (not per-GT values): when two valid GTs claim
+                # the same anchor, independent scatters could pick different
+                # winners per array, producing an internally inconsistent
+                # target. Reading bg back makes every duplicate scatter below
+                # carry identical values, so conflict order cannot matter —
+                # and matches the jnp path, which gathers from post-scatter
+                # best_g.
+                winner = bg[jnp.clip(ga, 0, num_anchors - 1)]  # (G,)
+                lbl_fix = gt_l.astype(jnp.int32)[winner]
+                lbl = lbl.at[safe_a].set(lbl_fix, mode="drop")
                 claimed = anchors_cxcywh[jnp.clip(ga, 0, num_anchors - 1)]
                 enc = box_ops.encode_boxes(
-                    box_ops.xyxy_to_cxcywh(gt_b), claimed, variances)
+                    box_ops.xyxy_to_cxcywh(gt_b)[winner], claimed, variances)
                 reg = reg.at[safe_a].set(enc, mode="drop")
             positive = bq >= cfg.pos_threshold
             ignore = jnp.logical_and(bq >= cfg.neg_threshold,

@@ -223,3 +223,28 @@ def test_draw_detections():
     )
     assert out.shape == img.shape
     assert out.sum() > 0  # something was drawn
+
+
+def test_train_cli_resume_toggles_ema(tmp_path, capsys):
+    """Resuming a non-EMA checkpoint with --ema-decay on (and vice versa)
+    reconciles the EMA subtree instead of crashing on a pytree mismatch."""
+    from shape_based_object_detection_tpu.cli.train_cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    main(["--config", "tiny_retinanet", "--steps", "2",
+          "--checkpoint-dir", ckpt, "--log-every", "100"])
+    capsys.readouterr()
+    # non-EMA checkpoint + EMA run: EMA starts from the restored params
+    main(["--config", "tiny_retinanet", "--steps", "4",
+          "--checkpoint-dir", ckpt, "--log-every", "100",
+          "--ema-decay", "0.9"])
+    out = capsys.readouterr().out
+    assert "starting EMA from the restored params" in out
+    assert "done at step 4" in out
+    # EMA checkpoint + non-EMA run: EMA weights dropped
+    main(["--config", "tiny_retinanet", "--steps", "6",
+          "--checkpoint-dir", ckpt, "--log-every", "100",
+          "--ema-decay", "0"])
+    out = capsys.readouterr().out
+    assert "dropping them" in out
+    assert "done at step 6" in out

@@ -204,3 +204,37 @@ def test_grain_loader_facade():
     assert len(batches) == 2
     assert batches[0].images.shape == (4, 64, 64, 3)
     assert batches[0].crowd.shape == (4, 6)
+
+
+def test_cache_fingerprint_invalidation(tmp_path):
+    """A cache is reused only when the full source fingerprint matches:
+    same-length datasets with a different image_size (or max_boxes) must
+    trigger a rebuild, not silent reuse of stale pixels."""
+    import json
+    import os
+
+    from shape_based_object_detection_tpu.data.cache import build_cache
+    from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
+
+    cache_dir = str(tmp_path / "cache")
+    ds64 = SyntheticDetection(size=64, num_images=8, num_classes=4)
+    build_cache(ds64, cache_dir, max_boxes=6, workers=1)
+    mtime = os.path.getmtime(os.path.join(cache_dir, "images.npy"))
+
+    # same fingerprint: reused (file untouched)
+    build_cache(ds64, cache_dir, max_boxes=6, workers=1)
+    assert os.path.getmtime(os.path.join(cache_dir, "images.npy")) == mtime
+
+    # same length, different image size: rebuilt
+    ds32 = SyntheticDetection(size=32, num_images=8, num_classes=4)
+    build_cache(ds32, cache_dir, max_boxes=6, workers=1)
+    with open(os.path.join(cache_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["image_size"] == 32
+    # lock released
+    assert not os.path.exists(os.path.join(cache_dir, ".build_lock"))
+
+    # different max_boxes: rebuilt again
+    build_cache(ds32, cache_dir, max_boxes=3, workers=1)
+    with open(os.path.join(cache_dir, "meta.json")) as f:
+        assert json.load(f)["max_boxes"] == 3

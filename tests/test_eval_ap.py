@@ -215,3 +215,48 @@ def test_evaluator_crowd_plumbing():
     ev.add_batch(det, gt_boxes, gt_labels, gt_valid, gt_crowd=gt_crowd)
     m = ev.coco()
     assert m["mAP"] == 1.0  # second det ignored on the crowd, first is TP
+
+
+def test_per_image_area_factor_original_pixels():
+    """pycocotools strata use ORIGINAL-image annotation areas: the same
+    normalized box is 'small' on a small source image and 'medium' on a big
+    one. Image 0: 640x480 source, a 0.05x0.05 box = 32x24 px = 768 px^2
+    (small). Image 1: 1280x960 source, same normalized box = 64x48 px =
+    3072 px^2 (medium)."""
+    nbox = _box(0.1, 0.1, 0.15, 0.15)
+    gt = [
+        GroundTruthRecord(0, nbox[None], np.asarray([1]),
+                          area_factor=640.0 * 480.0),
+        GroundTruthRecord(1, nbox[None], np.asarray([1]),
+                          area_factor=1280.0 * 960.0),
+    ]
+    det = [
+        DetectionRecord(0, nbox[None], np.asarray([0.9]), np.asarray([1])),
+        DetectionRecord(1, nbox[None], np.asarray([0.9]), np.asarray([1])),
+    ]
+    m = coco_map(det, gt)
+    assert m["APsmall"] == 1.0   # only image 0's GT is in-stratum, matched
+    assert m["APmedium"] == 1.0  # only image 1's GT
+    assert np.isnan(m["APlarge"])
+    # without the factors, both boxes are tiny normalized areas -> both small
+    gt_nf = [GroundTruthRecord(r.image_id, r.boxes, r.labels) for r in gt]
+    m2 = coco_map(det, gt_nf, area_scale=512.0)
+    assert m2["APsmall"] == 1.0 and np.isnan(m2["APmedium"])
+
+
+def test_evaluator_area_factors_plumbing():
+    from shape_based_object_detection_tpu.eval import Evaluator
+    from shape_based_object_detection_tpu.ops.nms import Detections
+
+    ev = Evaluator(area_scale=1.0)
+    det = Detections(
+        boxes=np.asarray([[[0.1, 0.1, 0.15, 0.15]]]),
+        scores=np.asarray([[0.9]]),
+        labels=np.asarray([[1]]),
+        valid=np.asarray([[True]]),
+    )
+    gt_boxes = np.asarray([[[0.1, 0.1, 0.15, 0.15]]])
+    ev.add_batch(det, gt_boxes, np.asarray([[1]]), np.asarray([[True]]),
+                 area_factors=np.asarray([1280.0 * 960.0]))
+    m = ev.coco()
+    assert m["APmedium"] == 1.0 and np.isnan(m["APsmall"])

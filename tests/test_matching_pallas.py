@@ -116,3 +116,39 @@ def test_all_invalid_sample_matches_dense():
     assert not bool(np.asarray(out.positive).any())
     np.testing.assert_array_equal(np.asarray(out.cls_targets),
                                   np.asarray(ref.cls_targets))
+
+
+def test_duplicate_gt_same_anchor_consistent():
+    """Two valid GTs with identical boxes but different labels claim the SAME
+    anchor in the force-match scatter. Whatever winner the conflict resolves
+    to, the patched label/offsets must describe that same winner (internally
+    consistent), and both backends must agree exactly."""
+    anchors = jnp.asarray(np.array(
+        [[0.5, 0.5, 0.2, 0.2], [0.2, 0.2, 0.1, 0.1], [0.8, 0.8, 0.3, 0.3],
+         [0.3, 0.7, 0.15, 0.15]] * 64, np.float32))
+    dup = np.array([0.45, 0.45, 0.55, 0.55], np.float32)
+    gt = jnp.asarray(np.stack([np.stack([dup, dup, [0.1, 0.1, 0.3, 0.3]])]))
+    labels = jnp.asarray(np.array([[3, 7, 1]], np.int32))
+    valid = jnp.ones((1, 3), bool)
+    cfg = MatchConfig(pos_threshold=0.5, neg_threshold=0.4,
+                      force_match_for_each_gt=True)
+    out = {}
+    for backend in ("jnp", "pallas"):
+        out[backend] = matching.match_batch(
+            anchors, gt, labels, valid,
+            dataclasses.replace(cfg, backend=backend))
+    for field in ("matched_gt_idx", "cls_targets", "positive"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out["pallas"], field)),
+            np.asarray(getattr(out["jnp"], field)), err_msg=field)
+    np.testing.assert_allclose(np.asarray(out["pallas"].reg_targets),
+                               np.asarray(out["jnp"].reg_targets), atol=1e-6)
+    # internal consistency: the positive anchor claimed by the duplicate GTs
+    # carries the label of the GT recorded in matched_gt_idx
+    for backend in ("jnp", "pallas"):
+        r = out[backend]
+        idx = np.asarray(r.matched_gt_idx)[0]
+        cls = np.asarray(r.cls_targets)[0]
+        pos = np.asarray(r.positive)[0]
+        lab = np.asarray(labels)[0]
+        assert (cls[pos] == lab[idx[pos]]).all(), backend
