@@ -238,3 +238,41 @@ def test_cache_fingerprint_invalidation(tmp_path):
     build_cache(ds32, cache_dir, max_boxes=3, workers=1)
     with open(os.path.join(cache_dir, "meta.json")) as f:
         assert json.load(f)["max_boxes"] == 3
+
+
+def test_cache_concurrent_builders(tmp_path):
+    """Two processes calling build_cache on the same directory concurrently:
+    the lockfile serializes them and both end with one consistent cache."""
+    import subprocess
+    import sys
+
+    cache_dir = str(tmp_path / "cache")
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from shape_based_object_detection_tpu.data.cache import build_cache
+from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
+ds = SyntheticDetection(size=48, num_images=16, num_classes=4)
+build_cache(ds, {repr(cache_dir)}, max_boxes=6, workers=1)
+print("built-ok")
+"""
+    procs = [subprocess.Popen([sys.executable, "-c", prog],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+             for _ in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()
+        assert b"built-ok" in out
+    import os
+
+    from shape_based_object_detection_tpu.data.cache import MemmapDetection
+    from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
+
+    assert not os.path.exists(os.path.join(cache_dir, ".build_lock"))
+    mm = MemmapDetection(cache_dir)
+    assert len(mm) == 16
+    ref = SyntheticDetection(size=48, num_images=16, num_classes=4)[0]
+    np.testing.assert_array_equal(mm[0][0], ref[0])
