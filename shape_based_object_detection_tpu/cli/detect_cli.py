@@ -11,16 +11,16 @@ import json
 
 
 def main(argv=None):
-    from shape_based_object_detection_tpu import config as config_lib
-    from shape_based_object_detection_tpu.models.factory import build_model
-    from shape_based_object_detection_tpu.detection import (
-        make_detect_fn, detect_single_image,
-    )
     from shape_based_object_detection_tpu.utils.image import decode_image_host
 
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="config1_ssd300_infer")
-    p.add_argument("--image", required=True)
+    p.add_argument("--image", required=True,
+                   help="an image file OR a directory of images (jpg/png); "
+                        "directories produce one result entry per file")
+    p.add_argument("--save-viz", default="",
+                   help="directory to write copies of the input images with "
+                        "detection boxes drawn (utils/viz.py)")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--min-score", type=float, default=0.3)
     p.add_argument("--quantize", action="store_true",
@@ -31,19 +31,80 @@ def main(argv=None):
     p.add_argument("--artifact", default="",
                    help="run from an exported .sbdx artifact instead of "
                         "building the model (--config/--checkpoint ignored)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override (JSON-parsed values)")
     args = p.parse_args(argv)
 
-    img = decode_image_host(args.image)
+    import os
+
+    if os.path.isdir(args.image):
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        paths = sorted(
+            os.path.join(args.image, f) for f in os.listdir(args.image)
+            if f.lower().endswith(exts))
+        if not paths:
+            raise SystemExit(f"no images found in {args.image}")
+    else:
+        paths = [args.image]
+
+    run_one = _build_runner(args)
+    all_results = {}
+    for path in paths:
+        img = decode_image_host(path)
+        boxes, scores, labels = run_one(img)
+        results = [
+            {"box": [round(float(v), 2) for v in b],
+             "score": round(float(s), 4), "label": int(l) + 1}
+            for b, s, l in zip(boxes, scores, labels)
+            if s >= args.min_score
+        ]
+        all_results[os.path.basename(path)] = results
+        if args.save_viz:
+            import numpy as np
+
+            from shape_based_object_detection_tpu.utils.viz import (
+                draw_detections,
+            )
+
+            os.makedirs(args.save_viz, exist_ok=True)
+            drawn = draw_detections(
+                img, np.asarray(boxes), np.asarray(scores),
+                np.asarray(labels), min_score=args.min_score)
+            from PIL import Image
+
+            out_path = os.path.join(
+                args.save_viz,
+                os.path.splitext(os.path.basename(path))[0] + "_det.png")
+            Image.fromarray(drawn).save(out_path)
+    # single-file invocations keep the original flat-list output contract
+    print(json.dumps(all_results[os.path.basename(paths[0])]
+                     if len(paths) == 1 else all_results, indent=2))
+
+
+def _build_runner(args):
+    """Returns run(img_u8) -> (boxes_px, scores, labels); the underlying
+    jitted program compiles once and is reused across a directory."""
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu.models.factory import build_model
+    from shape_based_object_detection_tpu.detection import (
+        make_detect_fn, detect_single_image,
+    )
 
     if args.artifact:
         from shape_based_object_detection_tpu.serving import ArtifactPredictor
 
-        det = ArtifactPredictor(args.artifact).predict([img])[0]
-        boxes, scores, labels = det.boxes, det.scores, det.labels
+        predictor = ArtifactPredictor(args.artifact)
+
+        def run(img):
+            det = predictor.predict([img])[0]
+            return det.boxes, det.scores, det.labels
+
+        return run
     else:
         import dataclasses
 
-        cfg = config_lib.get_config(args.config)
+        cfg = config_lib.resolve_config(args.config, args.overrides)
         module, variables, anchors = build_model(cfg.model)
 
         if args.checkpoint_dir:
@@ -79,19 +140,17 @@ def main(argv=None):
                                               cfg.data)
         else:
             detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
-        boxes, scores, labels = detect_single_image(
-            detect, variables, img, cfg.model.image_size,
-            letterbox=cfg.data.letterbox,
-        )
-    # detect() labels are 0-based foreground ids; report dataset 1-based ids
-    # (VOC_CLASSES / the COCO contiguous mapping) like the reference does
-    results = [
-        {"box": [round(float(v), 2) for v in b], "score": round(float(s), 4),
-         "label": int(l) + 1}
-        for b, s, l in zip(boxes, scores, labels)
-        if s >= args.min_score
-    ]
-    print(json.dumps(results, indent=2))
+
+        def run(img):
+            # detect() labels are 0-based foreground ids; main() reports
+            # dataset 1-based ids (VOC_CLASSES / the COCO contiguous
+            # mapping) like the reference does
+            return detect_single_image(
+                detect, variables, img, cfg.model.image_size,
+                letterbox=cfg.data.letterbox,
+            )
+
+        return run
 
 
 if __name__ == "__main__":

@@ -37,9 +37,12 @@ def main(argv=None):
                         "([{image_id, category_id, bbox xywh px, score}]) — "
                         "cross-checkable with pycocotools elsewhere; "
                         "requires a coco dataset")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override (JSON-parsed values)")
     args = p.parse_args(argv)
 
-    cfg = config_lib.get_config(args.config)
+    cfg = config_lib.resolve_config(args.config, args.overrides)
     if args.dataset:
         import dataclasses
 

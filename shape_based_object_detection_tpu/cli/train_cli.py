@@ -83,12 +83,22 @@ def main(argv=None):
     p.add_argument("--num-processes", type=int, default=0)
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--coordinator", default="")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, e.g. --set model.image_size=512 "
+                        "--set data.letterbox=true (JSON-parsed values)")
+    p.add_argument("--dump-config", default="",
+                   help="write the fully-resolved experiment config as JSON "
+                        "(re-runnable via --config <file>.json) and exit if "
+                        "no --steps given")
     args = p.parse_args(argv)
 
     if args.num_processes > 1:
         initialize_multihost(args.coordinator, args.num_processes, args.process_id)
 
-    cfg = config_lib.get_config(args.config)
+    # --config accepts a preset name or a JSON config file (the reference's
+    # per-run JSON style); --set applies dotted overrides on top
+    cfg = config_lib.resolve_config(args.config, args.overrides)
     if args.steps:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, total_steps=args.steps))
@@ -103,6 +113,12 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            ema_decay=args.ema_decay))
+
+    if args.dump_config:
+        config_lib.save_config_file(cfg, args.dump_config)
+        print(f"wrote resolved config to {args.dump_config}")
+        if not args.steps:
+            return
 
     module, variables, anchors = build_model(cfg.model)
     state = train_lib.create_train_state(module, variables, cfg)

@@ -381,6 +381,108 @@ def get_config(name: str) -> ExperimentConfig:
     return PRESETS[name]()
 
 
+# ---------------------------------------------------------------------------
+# JSON serialization / overrides (the reference's per-run JSON config files)
+# ---------------------------------------------------------------------------
+
+
+def config_to_dict(cfg: ExperimentConfig) -> dict:
+    """Plain nested dict (JSON-serializable) of the full experiment config."""
+    return dataclasses.asdict(cfg)
+
+
+def _coerce(value, typ):
+    """Recursively rebuild dataclasses and tuples from JSON-decoded values."""
+    import typing
+
+    origin = typing.get_origin(typ)
+    if dataclasses.is_dataclass(typ) and isinstance(value, dict):
+        return _dataclass_from_dict(typ, value)
+    if origin is tuple and isinstance(value, (list, tuple)):
+        args = typing.get_args(typ)
+        if len(args) == 2 and args[1] is Ellipsis:
+            return tuple(_coerce(v, args[0]) for v in value)
+        if args and len(args) == len(value):
+            return tuple(_coerce(v, t) for v, t in zip(value, args))
+        return tuple(value)
+    if isinstance(value, list):  # untyped nesting (e.g. Tuple[Tuple[...]])
+        return tuple(_coerce(v, typ) for v in value)
+    return value
+
+
+def _dataclass_from_dict(cls, d: dict):
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - known
+    if unknown:
+        raise KeyError(
+            f"unknown {cls.__name__} field(s) {sorted(unknown)}; "
+            f"valid: {sorted(known)}")
+    return cls(**{k: _coerce(v, hints[k]) for k, v in d.items()})
+
+
+def config_from_dict(d: dict) -> ExperimentConfig:
+    """Inverse of :func:`config_to_dict`; unknown keys raise (typo guard)."""
+    return _dataclass_from_dict(ExperimentConfig, d)
+
+
+def save_config_file(cfg: ExperimentConfig, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2)
+        f.write("\n")
+
+
+def load_config_file(path: str) -> ExperimentConfig:
+    import json
+
+    with open(path) as f:
+        return config_from_dict(json.load(f))
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides) -> ExperimentConfig:
+    """Apply ``section.key=value`` strings (values parsed as JSON, falling
+    back to raw string): e.g. ``model.image_size=512``,
+    ``data.letterbox=true``, ``train.lr_decay_steps=[100,200]``."""
+    import json
+
+    for item in overrides or ():
+        path, _, raw = item.partition("=")
+        if not _:
+            raise ValueError(f"override {item!r} is not of the form key=value")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        keys = path.strip().split(".")
+        d = config_to_dict(cfg)
+        node = d
+        for k in keys[:-1]:
+            if k not in node:
+                raise KeyError(f"unknown config section {k!r} in {item!r}")
+            node = node[k]
+        if keys[-1] not in node:
+            raise KeyError(f"unknown config field {path!r}")
+        node[keys[-1]] = value
+        cfg = config_from_dict(d)
+    return cfg
+
+
+def resolve_config(name_or_path: str, overrides=()) -> ExperimentConfig:
+    """CLI entry: a preset name or a path to a JSON config file (the
+    reference's per-run JSON config style), plus dotted overrides."""
+    import os
+
+    if name_or_path.endswith(".json") or os.path.sep in name_or_path:
+        cfg = load_config_file(name_or_path)
+    else:
+        cfg = get_config(name_or_path)
+    return apply_overrides(cfg, overrides)
+
+
 def tiny_test_model(family: str = "ssd") -> ModelConfig:
     """A channel-scaled miniature model for CPU tests (same code paths)."""
     if family == "ssd":

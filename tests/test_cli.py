@@ -248,3 +248,27 @@ def test_train_cli_resume_toggles_ema(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "dropping them" in out
     assert "done at step 6" in out
+
+
+def test_detect_cli_directory_and_viz(tmp_path, capsys):
+    """--image <dir>: per-file results dict; --save-viz writes drawn PNGs;
+    the jitted program compiles once and is reused across files."""
+    from PIL import Image
+
+    from shape_based_object_detection_tpu.cli.detect_cli import main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("a.jpg", "b.png"):
+        Image.fromarray(
+            rng.integers(0, 255, (80, 96, 3), dtype=np.uint8)
+        ).save(img_dir / name)
+    viz_dir = tmp_path / "viz"
+    main(["--config", "tiny_retinanet", "--image", str(img_dir),
+          "--min-score", "0.0", "--save-viz", str(viz_dir)])
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"a.jpg", "b.png"}
+    assert all(isinstance(v, list) for v in out.values())
+    assert sorted(p.name for p in viz_dir.iterdir()) == [
+        "a_det.png", "b_det.png"]
