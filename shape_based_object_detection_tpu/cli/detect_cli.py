@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--min-score", type=float, default=0.3)
     p.add_argument("--quantize", action="store_true",
                    help="serve from int8 weight-only quantized params")
+    p.add_argument("--int8-activations", action="store_true",
+                   help="with --quantize: run eligible convs as s8xs8->s32 "
+                        "on the MXU (dynamic activation scales)")
     p.add_argument("--ema", action="store_true",
                    help="serve the checkpoint's EMA weights (needs a "
                         "checkpoint trained with ema_decay > 0)")
@@ -136,8 +139,9 @@ def _build_runner(args):
             )
 
             variables = quantize_params(variables)
-            detect = make_quantized_detect_fn(module, anchors, cfg.model,
-                                              cfg.data)
+            detect = make_quantized_detect_fn(
+                module, anchors, cfg.model, cfg.data,
+                int8_activations=args.int8_activations)
         else:
             detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
 

@@ -47,6 +47,7 @@ def export_detect(
     batch_size: int = 8,
     platforms: Sequence[str] = ("tpu", "cpu"),
     quantize: bool = False,
+    int8_activations: bool = False,
 ) -> bytes:
     """Export detect() for a fixed batch shape with weights embedded.
 
@@ -56,19 +57,32 @@ def export_detect(
     exported platform (the Pallas kernel is TPU-only and not exportable
     across platforms). ``quantize=True`` embeds int8 weight-only quantized
     constants (quantize.py) — ~4x smaller artifact, dequantize fused on-chip.
+    ``int8_activations=True`` additionally bakes the dynamic s8xs8->s32 conv
+    path into the exported program (quantize.py; plain StableHLO ops, so it
+    stays portable across the exported platforms).
     """
     detect = make_detect_fn(module, anchors_cxcywh, cfg, data_cfg,
                             use_pallas=False)
     if quantize:
+        from flax import linen as nn
+
         from shape_based_object_detection_tpu.quantize import (
-            dequantize_params, quantize_params,
+            dequantize_params, int8_conv_interceptor, quantize_params,
         )
 
         variables = quantize_params(variables)
         inner_detect = detect
 
-        def detect(variables, images):
-            return inner_detect(dequantize_params(variables), images)
+        if int8_activations:
+            interceptor = int8_conv_interceptor()
+
+            def detect(variables, images):
+                with nn.intercept_methods(interceptor):
+                    return inner_detect(dequantize_params(variables), images)
+        else:
+
+            def detect(variables, images):
+                return inner_detect(dequantize_params(variables), images)
 
     def detect_images(images):  # weights closed over -> embedded as consts
         return detect(variables, images)
@@ -84,6 +98,7 @@ def export_detect(
         "platforms": list(platforms),
         "num_classes": cfg.num_classes,
         "quantized": quantize,
+        "int8_activations": bool(quantize and int8_activations),
         # serving-side prepare/unpack must match the preprocessing the
         # weights were trained/evaluated with (ArtifactPredictor reads this)
         "letterbox": bool(data_cfg.letterbox) if data_cfg else False,
@@ -141,6 +156,7 @@ def export_from_config(
     batch_size: int = 8,
     platforms: Sequence[str] = ("tpu", "cpu"),
     quantize: bool = False,
+    int8_activations: bool = False,
     dtype: str | None = None,
 ) -> bytes:
     """Convenience: build the model from an ExperimentConfig and export.
@@ -159,4 +175,4 @@ def export_from_config(
     return export_detect(
         module, variables if variables is not None else init_vars, anchors,
         model_cfg, experiment_cfg.data, batch_size, platforms,
-        quantize=quantize)
+        quantize=quantize, int8_activations=int8_activations)

@@ -78,7 +78,11 @@ class Predictor:
     """detect() as a service: fixed batch, padded, async-dispatch friendly."""
 
     def __init__(self, cfg: ExperimentConfig, variables=None, batch_size: int = 8,
-                 min_score: float = 0.0, quantize: bool = False):
+                 min_score: float = 0.0, quantize: bool | str = False):
+        """``quantize``: False | True/"weights" (int8 weight-only: ~4x
+        smaller HBM weights, dequant on-chip) | "full" (additionally runs
+        eligible convs as s8xs8->s32 on the MXU with dynamic activation
+        scales — the high-throughput serving mode; quantize.py)."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.min_score = min_score
@@ -87,15 +91,14 @@ class Predictor:
         module, init_vars, anchors = build_model(cfg.model)
         self.variables = variables if variables is not None else init_vars
         if quantize:
-            # int8 weight-only serving path (quantize.py): ~4x smaller
-            # HBM-resident weights, dequantized on-chip inside the program.
             from shape_based_object_detection_tpu.quantize import (
                 make_quantized_detect_fn, quantize_params,
             )
 
             self.variables = quantize_params(self.variables)
             self._detect = make_quantized_detect_fn(
-                module, anchors, cfg.model, cfg.data)
+                module, anchors, cfg.model, cfg.data,
+                int8_activations=(quantize == "full"))
         else:
             self._detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
         self._pending: Optional[Tuple] = None

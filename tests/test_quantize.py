@@ -117,3 +117,96 @@ def test_predictor_quantized(tiny_cfg, rng):
     out = pred.predict(imgs)
     assert len(out) == 1
     assert out[0].boxes.shape[1] == 4
+
+
+# ---------------------------------------------------------------------------
+# Full int8 (activations + weights)
+# ---------------------------------------------------------------------------
+
+
+def test_int8_conv_interceptor_numerics(rng):
+    """Intercepted conv matches float conv within dynamic-quant error and
+    leaves lax.conv_general_dilated restored."""
+    from flax import linen as nn
+    from jax import lax
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Conv(32, (3, 3), name="c1")(x))
+            return nn.Conv(16, (3, 3), name="c2")(x)
+
+    m = M()
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 8)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(v, x)
+    orig = lax.conv_general_dilated
+    with nn.intercept_methods(q_lib.int8_conv_interceptor(min_size=1)):
+        out = m.apply(v, x)
+    assert lax.conv_general_dilated is orig  # patch scoped to the trace
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert 0.0 < rel < 0.05  # quantized (not bit-equal) but close
+
+
+def test_int8_skip_predicate_keeps_heads_float(rng):
+    """Convs named predict/loc_*/cls_* bypass quantization bit-exactly."""
+    from flax import linen as nn
+
+    class H(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return (nn.Conv(8, (3, 3), name="predict")(x)
+                    + nn.Conv(8, (3, 3), name="loc_0")(x))
+
+    h = H()
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 8, 8, 4)).astype(np.float32))
+    v = h.init(jax.random.PRNGKey(0), x)
+    with nn.intercept_methods(q_lib.int8_conv_interceptor(min_size=1)):
+        out = h.apply(v, x)
+    assert bool(jnp.all(out == h.apply(v, x)))
+
+
+def test_int8_activations_detect_close_and_runs(built, tiny_cfg, rng):
+    """End-to-end int8-activation detect(): same program surface, logits
+    drift bounded vs the weight-only path, detections well-formed."""
+    module, variables, anchors = built
+    qvars = q_lib.quantize_params(variables)
+    size = tiny_cfg.model.image_size
+    images = rng.integers(0, 255, (2, size, size, 3)).astype(np.uint8)
+
+    det_w = q_lib.make_quantized_detect_fn(
+        module, anchors, tiny_cfg.model, tiny_cfg.data,
+        use_pallas=False)(qvars, jnp.asarray(images))
+    det_a = q_lib.make_quantized_detect_fn(
+        module, anchors, tiny_cfg.model, tiny_cfg.data, use_pallas=False,
+        int8_activations=True)(qvars, jnp.asarray(images))
+    assert det_a.boxes.shape == det_w.boxes.shape
+    assert bool(jnp.all(jnp.isfinite(det_a.scores)))
+    # activation quantization perturbs but does not destroy the output
+    # distribution: compare the mean top-score per image
+    top_w = jnp.max(jnp.where(det_w.valid, det_w.scores, 0.0), axis=1)
+    top_a = jnp.max(jnp.where(det_a.valid, det_a.scores, 0.0), axis=1)
+    assert float(jnp.max(jnp.abs(top_w - top_a))) < 0.05
+
+
+def test_int8_activations_export_runs(tiny_cfg, rng):
+    from shape_based_object_detection_tpu import export as export_lib
+
+    blob = export_lib.export_from_config(
+        tiny_cfg, batch_size=1, platforms=("cpu",), quantize=True,
+        int8_activations=True)
+    loaded = export_lib.load_detect(blob)
+    assert loaded.header["int8_activations"] is True
+    size = loaded.header["image_size"]
+    det = loaded(rng.integers(0, 255, (1, size, size, 3)).astype(np.uint8))
+    assert det.boxes.shape[0] == 1
+    assert bool(np.all(np.isfinite(np.asarray(det.scores))))
+
+
+def test_predictor_full_int8(tiny_cfg, rng):
+    from shape_based_object_detection_tpu.serving import Predictor
+
+    pred = Predictor(tiny_cfg, batch_size=2, quantize="full")
+    imgs = [rng.integers(0, 255, (97, 133, 3)).astype(np.uint8)]
+    out = pred.predict(imgs)
+    assert len(out) == 1 and out[0].boxes.shape[1] == 4

@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--quantize", action="store_true",
                    help="embed int8 weight-only quantized constants (~4x "
                         "smaller artifact, dequantize fused on-chip)")
+    p.add_argument("--int8-activations", action="store_true",
+                   help="with --quantize: bake the dynamic s8xs8->s32 conv "
+                        "path into the exported program")
     p.add_argument("--ema", action="store_true",
                    help="export the checkpoint's EMA weights (requires a "
                         "checkpoint trained with ema_decay > 0)")
@@ -68,6 +71,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         platforms=tuple(args.platforms.split(",")),
         quantize=args.quantize,
+        int8_activations=args.int8_activations,
     )
     export_lib.save_artifact(blob, args.out)
     print(f"wrote {args.out}: {len(blob) / 1e6:.1f} MB, "
