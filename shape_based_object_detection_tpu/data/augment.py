@@ -29,7 +29,16 @@ from shape_based_object_detection_tpu.config import DataConfig
 
 _NUM_CROP_TRIALS = 16
 # SSD sampling modes: min-IoU constraint per mode; -1 = no crop (identity).
-_CROP_MIN_IOUS = jnp.asarray([-1.0, 0.0, 0.1, 0.3, 0.5, 0.7, 0.9])
+# numpy, NOT jnp: a module-level jnp constant initializes the JAX backend at
+# import time — on the axon runtime that means creating a TPU client the
+# moment anything imports the data package (observed hanging in
+# make_c_api_client when the tunnel is flaky, and it breaks CPU-forcing
+# callers that configure the platform after import). jnp ops consume the
+# numpy array identically and it constant-folds inside jit.
+import numpy as _np
+
+_CROP_MIN_IOUS = _np.asarray([-1.0, 0.0, 0.1, 0.3, 0.5, 0.7, 0.9],
+                             dtype=_np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +129,7 @@ def _sample_window(rng: jax.Array, boxes: jnp.ndarray, valid: jnp.ndarray,
         # SSD IoU-constrained crop, vectorized over trials
         t = _NUM_CROP_TRIALS
         mode = jax.random.randint(k[3], (), 0, len(_CROP_MIN_IOUS))
-        min_iou = _CROP_MIN_IOUS[mode]
+        min_iou = jnp.asarray(_CROP_MIN_IOUS)[mode]
         kw, kxy = jax.random.split(k[4])
         wh = jax.random.uniform(kw, (t, 2), minval=0.3, maxval=1.0)
         # aspect constraint 0.5 < w/h < 2

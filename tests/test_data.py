@@ -251,8 +251,14 @@ def test_cache_concurrent_builders(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prog = f"""
-import sys
+import os, sys
 sys.path.insert(0, {repo!r})
+# canonical CPU-forcing recipe (conftest.py): the axon plugin overrides the
+# inherited env var at import, so the config update is required too — a child
+# that touches a jax backend must never create a TPU client here
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
 from shape_based_object_detection_tpu.data.cache import build_cache
 from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
 ds = SyntheticDetection(size=48, num_images=16, num_classes=4)

@@ -108,3 +108,26 @@ def test_benchmark_fn():
     out = benchmark_fn(f, jnp.ones((8, 8)), warmup=1, iters=3)
     assert out["seconds_per_call"] > 0
     assert out["calls_per_sec"] > 0
+
+
+def test_package_import_initializes_no_backend():
+    """Importing the package must not create a JAX backend client: on the
+    axon runtime, import-time backend init means creating a TPU client in
+    every subprocess that touches the library (observed hanging in
+    make_c_api_client). Regression guard for the module-level jnp-constant
+    landmine (data/augment.py)."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import shape_based_object_detection_tpu\n"
+        "import shape_based_object_detection_tpu.data.augment\n"
+        "import shape_based_object_detection_tpu.detection\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, xla_bridge._backends\n"
+        "print('clean-import')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "clean-import" in r.stdout
