@@ -77,6 +77,12 @@ def main(argv=None):
     p.add_argument("--cache-dir", default="",
                    help="--loader cache location (default "
                         "<checkpoint-dir>/data_cache)")
+    p.add_argument("--init-params", default="",
+                   help="initialize model variables from an orbax params "
+                        "checkpoint (tools/convert_checkpoint.py output — "
+                        "the pretrained-backbone fine-tune path, SURVEY.md "
+                        "§3.5/C21); a resumable checkpoint in "
+                        "--checkpoint-dir still takes precedence")
     p.add_argument("--ema-decay", type=float, default=-1.0,
                    help="override TrainConfig.ema_decay (e.g. 0.999; "
                         "detect_cli --ema serves the averaged weights)")
@@ -121,6 +127,12 @@ def main(argv=None):
             return
 
     module, variables, anchors = build_model(cfg.model)
+    if args.init_params:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        variables = ckptr.restore(os.path.abspath(args.init_params), variables)
+        print(f"initialized params from {args.init_params}")
     state = train_lib.create_train_state(module, variables, cfg)
     train_step = train_lib.make_train_step(module, anchors, cfg)
 

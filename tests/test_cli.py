@@ -272,3 +272,40 @@ def test_detect_cli_directory_and_viz(tmp_path, capsys):
     assert all(isinstance(v, list) for v in out.values())
     assert sorted(p.name for p in viz_dir.iterdir()) == [
         "a_det.png", "b_det.png"]
+
+def test_train_cli_init_params(tmp_path, capsys):
+    """--init-params starts training from converted/pretrained variables
+    (the C21 fine-tune workflow): with lr=0 the params that come out of the
+    run are exactly the params that went in."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu import train as train_lib
+    from shape_based_object_detection_tpu.checkpoint import CheckpointManager
+    from shape_based_object_detection_tpu.cli.train_cli import main
+    from shape_based_object_detection_tpu.models.factory import build_model
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    module, variables, _ = build_model(cfg.model)
+    marked = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, 0.123), variables)
+    init_path = tmp_path / "pretrained"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(init_path), marked)
+    ckptr.wait_until_finished()
+
+    ckpt = str(tmp_path / "ckpt")
+    main(["--config", "tiny_retinanet", "--steps", "1",
+          "--checkpoint-dir", ckpt, "--log-every", "100", "--workers", "0",
+          "--init-params", str(init_path),
+          "--set", "train.base_lr=0.0", "--set", "train.grad_clip_norm=0.0"])
+    out = capsys.readouterr().out
+    assert "initialized params from" in out
+    assert "done at step 1" in out
+
+    template = train_lib.create_train_state(module, variables, cfg)
+    restored = CheckpointManager(ckpt).restore_latest(template)
+    leaves = jax.tree_util.tree_leaves(restored.params)
+    assert all(bool(jnp.all(l == 0.123)) for l in leaves)

@@ -28,7 +28,9 @@ MODELS = {
 
 
 def bench_one(model_key: str, batch: int, iters: int, windows: int,
-              quantize: bool = False) -> dict:
+              quantize: str = "") -> dict:
+    """``quantize``: "" (bf16) | "weights" (int8 weight-only) | "full"
+    (int8 weights + dynamic-int8 activations on the MXU)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -45,7 +47,9 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int,
         )
 
         variables = quantize_params(variables)
-        detect = make_quantized_detect_fn(module, anchors, model_cfg, cfg.data)
+        detect = make_quantized_detect_fn(
+            module, anchors, model_cfg, cfg.data,
+            int8_activations=(quantize == "full"))
     else:
         detect = make_detect_fn(module, anchors, model_cfg, cfg.data)
 
@@ -81,7 +85,7 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int,
 
 
 def _run_cell_subprocess(model: str, batch: int, iters: int,
-                         windows: int, quantize: bool = False) -> dict:
+                         windows: int, quantize: str = "") -> dict:
     """One cell per child process: a TPU-worker crash (observed with the
     SSD-512 fused program) kills the client for the whole process, so cells
     must not share one. The worker itself restarts in ~2 min; retry once."""
@@ -90,7 +94,7 @@ def _run_cell_subprocess(model: str, batch: int, iters: int,
     cmd = [sys.executable, __file__, "--one", f"{model}:{batch}",
            "--iters", str(iters), "--windows", str(windows)]
     if quantize:
-        cmd.append("--quantize")
+        cmd.extend(["--quantize", quantize])
     for attempt in range(2):
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
@@ -116,8 +120,11 @@ def main() -> None:
     ap.add_argument("--batches", default="1,8")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--windows", type=int, default=3)
-    ap.add_argument("--quantize", action="store_true",
-                    help="bench the int8 weight-only quantized detect path")
+    ap.add_argument("--quantize", nargs="?", const="weights", default="",
+                    choices=["weights", "full"],
+                    help="bench the int8 detect path: 'weights' (weight-only"
+                         ", the default when the flag is bare) or 'full' "
+                         "(+dynamic-int8 activations on the MXU)")
     ap.add_argument("--one", default="",
                     help="internal: run a single 'model:batch' cell and exit")
     args = ap.parse_args()
