@@ -309,3 +309,19 @@ def test_train_cli_init_params(tmp_path, capsys):
     restored = CheckpointManager(ckpt).restore_latest(template)
     leaves = jax.tree_util.tree_leaves(restored.params)
     assert all(bool(jnp.all(l == 0.123)) for l in leaves)
+
+
+def test_cli_package_honors_platform_env():
+    """Importing the cli package mirrors JAX_PLATFORMS into the jax config,
+    so `JAX_PLATFORMS=cpu python -m ...train_cli` can never create a real
+    TPU client even though the platform plugin overrides the env var."""
+    import subprocess
+    import sys
+
+    prog = ("import shape_based_object_detection_tpu.cli\n"
+            "import jax\n"
+            "print(jax.default_backend())\n")
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().endswith("cpu")
