@@ -32,6 +32,11 @@ def main(argv=None):
                    help="override the preset's dataset kind (voc|coco|"
                         "synthetic), e.g. to eval a tiny model on real data")
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--quantize", nargs="?", const="weights", default="",
+                   choices=["weights", "full"],
+                   help="evaluate the int8 serving path instead of float — "
+                        "'weights' (weight-only) or 'full' (+dynamic-int8 "
+                        "activations); measures quantization mAP drift")
     p.add_argument("--dump-results", default="",
                    help="write detections as standard COCO results JSON "
                         "([{image_id, category_id, bbox xywh px, score}]) — "
@@ -58,7 +63,17 @@ def main(argv=None):
         if restored is not None:
             variables = {"params": restored.params, **restored.extra_vars}
 
-    detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
+    if args.quantize:
+        from shape_based_object_detection_tpu.quantize import (
+            make_quantized_detect_fn, quantize_params,
+        )
+
+        variables = quantize_params(variables)
+        detect = make_quantized_detect_fn(
+            module, anchors, cfg.model, cfg.data,
+            int8_activations=(args.quantize == "full"))
+    else:
+        detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
     # COCO protocol: crowd GT regions ride along as ignore regions, and the
     # area strata (32^2/96^2 px) follow pycocotools — ORIGINAL-image
     # annotation pixels, via per-image area factors when the dataset knows

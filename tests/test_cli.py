@@ -325,3 +325,14 @@ def test_cli_package_honors_platform_env():
                        text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip().endswith("cpu")
+
+
+def test_eval_cli_quantized(capsys):
+    """--quantize [weights|full] evaluates the int8 serving path (the
+    quantization-accuracy measurement workflow)."""
+    from shape_based_object_detection_tpu.cli.eval_cli import main
+
+    main(["--config", "tiny_retinanet", "--protocol", "voc",
+          "--max-batches", "1", "--quantize", "full"])
+    metrics = json.loads(capsys.readouterr().out)
+    assert "mAP" in metrics
