@@ -18,6 +18,10 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from shape_based_object_detection_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 import numpy as np
 
 
@@ -43,10 +47,14 @@ def main():
     results = pred.poll()
     print(f"submit/poll: {sum(len(r.scores) for r in results)} detections")
 
-    # 2. the same surface with int8 weight-only quantized params
+    # 2. the same surface with int8 weight-only quantized params, and the
+    #    full-int8 mode (dynamic-int8 activations on the MXU as well)
     qpred = Predictor(cfg, batch_size=4, min_score=0.0, quantize=True)
     qdet = qpred.predict(images)
     print(f"quantized  : {sum(len(r.scores) for r in qdet)} detections")
+    fpred = Predictor(cfg, batch_size=4, min_score=0.0, quantize="full")
+    fdet = fpred.predict(images)
+    print(f"full-int8  : {sum(len(r.scores) for r in fdet)} detections")
 
     # 3. AOT export: a self-contained .sbdx blob (weights + whole detect()
     #    program as versioned StableHLO); loading needs no config/model code

@@ -19,6 +19,10 @@ import time
 REPO = __file__.rsplit("/", 2)[0]
 sys.path.insert(0, REPO)
 
+from shape_based_object_detection_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 MODELS = {
     "ssd300": "config1_ssd300_infer",
     "ssd512": "config3_ssd512_voc_train",

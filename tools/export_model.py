@@ -17,6 +17,10 @@ import sys
 REPO = __file__.rsplit("/", 2)[0]
 sys.path.insert(0, REPO)
 
+from shape_based_object_detection_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()

@@ -18,6 +18,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from shape_based_object_detection_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 import numpy as np
 
 

@@ -31,6 +31,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from shape_based_object_detection_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 
 def _time_fn(fn, args, n=30, windows=3):
     import jax.numpy as jnp
