@@ -138,6 +138,12 @@ class DataConfig:
     random_crop: bool = True
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # Compute dtype for the on-device augmentation pipeline. "bfloat16"
+    # halves the HBM traffic of the elementwise photometric chain and runs
+    # the warp's row/column contractions at the MXU bf16 rate — use with
+    # bf16 models (the augmented batch feeds a bf16 cast anyway); "float32"
+    # is the parity/default setting.
+    augment_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,19 +84,24 @@ def photometric_distort(rng: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
     """img: (H, W, 3) float in [0,1]. SSD-style random photometric chain."""
     k = jax.random.split(rng, 8)
     apply = jax.random.uniform(k[0], (4,)) < 0.5
+    # params are ALWAYS sampled in f32 (the augmentation stream is invariant
+    # to the compute dtype), then cast to the image's dtype for application
+    dt = img.dtype
 
     # brightness: +/- 32/255
-    delta = jax.random.uniform(k[1], (), minval=-32.0 / 255, maxval=32.0 / 255)
+    delta = jax.random.uniform(k[1], (), minval=-32.0 / 255,
+                               maxval=32.0 / 255).astype(dt)
     img = jnp.where(apply[0], img + delta, img)
     # contrast: x0.5 .. x1.5
-    alpha_c = jax.random.uniform(k[2], (), minval=0.5, maxval=1.5)
+    alpha_c = jax.random.uniform(k[2], (), minval=0.5, maxval=1.5).astype(dt)
     img = jnp.where(apply[1], img * alpha_c, img)
     img = jnp.clip(img, 0.0, 1.0)
     # saturation & hue in HSV space
     hsv = rgb_to_hsv(img)
-    alpha_s = jax.random.uniform(k[3], (), minval=0.5, maxval=1.5)
+    alpha_s = jax.random.uniform(k[3], (), minval=0.5, maxval=1.5).astype(dt)
     s = jnp.where(apply[2], jnp.clip(hsv[..., 1] * alpha_s, 0, 1), hsv[..., 1])
-    dh = jax.random.uniform(k[4], (), minval=-18.0 / 360, maxval=18.0 / 360)
+    dh = jax.random.uniform(k[4], (), minval=-18.0 / 360,
+                            maxval=18.0 / 360).astype(dt)
     h = jnp.where(apply[3], (hsv[..., 0] + dh) % 1.0, hsv[..., 0])
     img = hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1))
     return jnp.clip(img, 0.0, 1.0)
@@ -213,12 +218,13 @@ def _augment_one(rng: jax.Array, img_u8: jnp.ndarray, boxes: jnp.ndarray,
                  labels: jnp.ndarray, valid: jnp.ndarray, cfg: DataConfig,
                  out_size: int):
     k = jax.random.split(rng, 4)
-    img = img_u8.astype(jnp.float32) / 255.0
+    dtype = jnp.dtype(cfg.augment_dtype)
+    img = img_u8.astype(dtype) / jnp.asarray(255.0, dtype)
 
     if cfg.photometric:
         img = photometric_distort(k[0], img)
 
-    mean = jnp.asarray(cfg.mean)
+    mean = jnp.asarray(cfg.mean, dtype)
     window = _sample_window(k[1], boxes, valid, cfg.expand, cfg.random_crop)
     img = _warp_image(img, window, out_size, mean)
     boxes, valid = _transform_boxes(boxes, valid, window)
@@ -232,7 +238,7 @@ def _augment_one(rng: jax.Array, img_u8: jnp.ndarray, boxes: jnp.ndarray,
         )
         boxes = jnp.where(flip, flipped, boxes)
 
-    std = jnp.asarray(cfg.std)
+    std = jnp.asarray(cfg.std, dtype)
     img = (img - mean) / std
     return img, boxes, labels, valid
 

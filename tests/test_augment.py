@@ -113,3 +113,33 @@ def test_eval_preprocess(rng):
     out = A.eval_preprocess(jnp.asarray(images), _FULL_CFG, 64)
     assert out.shape == (2, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_augment_bfloat16_dtype_matches_f32(rng):
+    """augment_dtype="bfloat16" (the bf16-model perf setting) produces the
+    same geometry exactly (windows/boxes sampled in f32) and images close to
+    the f32 pipeline."""
+    import dataclasses
+
+    import jax
+
+    from shape_based_object_detection_tpu.config import DataConfig
+
+    imgs = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    boxes = np.asarray([[[0.2, 0.2, 0.7, 0.8], [0.1, 0.4, 0.5, 0.9]]] * 2,
+                       np.float32)
+    labels = np.ones((2, 2), np.int32)
+    valid = np.ones((2, 2), bool)
+    cfg32 = DataConfig()
+    cfg16 = dataclasses.replace(cfg32, augment_dtype="bfloat16")
+    key = jax.random.PRNGKey(7)
+    i32, b32, l32, v32 = A.augment_batch(key, imgs, boxes, labels, valid,
+                                       cfg32, 64)
+    i16, b16, l16, v16 = A.augment_batch(key, imgs, boxes, labels, valid,
+                                       cfg16, 64)
+    assert i16.dtype == jnp.bfloat16 and i32.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(v32), np.asarray(v16))
+    np.testing.assert_allclose(np.asarray(b32), np.asarray(b16), atol=1e-6)
+    # normalized-image values live in roughly [-2.5, 2.5]
+    np.testing.assert_allclose(np.asarray(i16, np.float32),
+                               np.asarray(i32), atol=0.12)
