@@ -23,6 +23,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument("--augment-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype of the fused augmentation stage "
+                         "(DataConfig.augment_dtype)")
     args = ap.parse_args()
     batch_size = args.batch
     import jax
@@ -43,7 +47,8 @@ def main() -> None:
         cfg,
         model=model_cfg,
         data=dataclasses.replace(cfg.data, batch_size=batch_size,
-                                 max_boxes=64),
+                                 max_boxes=64,
+                                 augment_dtype=args.augment_dtype),
         train=dataclasses.replace(cfg.train, remat=args.remat),
     )
     module, variables, anchors = build_model(model_cfg)
