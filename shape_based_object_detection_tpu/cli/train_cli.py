@@ -141,7 +141,15 @@ def main(argv=None):
     data_shard = batch_sharding(mesh, cfg.mesh)
 
     ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
-    restored = ckpt.restore_latest(state)
+    try:
+        restored = ckpt.restore_latest(state)
+    except Exception as e:  # orbax structure mismatch dumps are unreadable
+        raise SystemExit(
+            f"checkpoint in {cfg.train.checkpoint_dir!r} does not match the "
+            f"--config {args.config!r} model/optimizer structure (it was "
+            "likely written by a different config). Use a matching --config, "
+            "a fresh --checkpoint-dir, or delete the stale checkpoint.\n"
+            f"original error: {type(e).__name__}: {str(e)[:500]}")
     if restored is not None:
         state = restored
         # Reconcile the EMA subtree with THIS run's config: restore_latest

@@ -336,3 +336,18 @@ def test_eval_cli_quantized(capsys):
           "--max-batches", "1", "--quantize", "full"])
     metrics = json.loads(capsys.readouterr().out)
     assert "mAP" in metrics
+
+
+def test_train_cli_stale_checkpoint_clear_error(tmp_path, capsys):
+    """A checkpoint dir written by a different config fails with a clear
+    SystemExit, not an orbax structure dump."""
+    from shape_based_object_detection_tpu.cli.train_cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    main(["--config", "tiny_ssd", "--steps", "1",
+          "--checkpoint-dir", ckpt, "--log-every", "100", "--workers", "0"])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="does not match the --config"):
+        main(["--config", "tiny_retinanet", "--steps", "1",
+              "--checkpoint-dir", ckpt, "--log-every", "100",
+              "--workers", "0"])
