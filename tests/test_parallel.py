@@ -181,3 +181,35 @@ def test_two_process_distributed_train_step(tmp_path):
         results[int(m.group(1))] = (m.group(2), m.group(3))
     assert set(results) == {0, 1}
     assert results[0] == results[1], f"processes diverged: {results}"
+
+
+def test_quantized_detect_sharded_equals_single_device():
+    """The int8 serving path (weight-only AND full-int8) composes with DP
+    batch sharding: sharded detections == unsharded detections (serving
+    scale-out). The dynamic activation scale is a global abs-max reduction,
+    which GSPMD turns into a cross-device all-reduce — same value."""
+    from shape_based_object_detection_tpu import quantize as q_lib
+
+    model_cfg = config_lib.tiny_test_model("retinanet")
+    data_cfg = config_lib.DataConfig()
+    module, variables, anchors = build_model(model_cfg)
+    qvars = q_lib.quantize_params(variables)
+    rng = np.random.default_rng(3)
+    s = model_cfg.image_size
+    images = rng.integers(0, 255, (8, s, s, 3), dtype=np.uint8)
+
+    mesh = make_mesh()
+    dshard = batch_sharding(mesh)
+    for int8_acts in (False, True):
+        detect = q_lib.make_quantized_detect_fn(
+            module, anchors, model_cfg, data_cfg, use_pallas=False,
+            int8_activations=int8_acts)
+        ref = detect(qvars, jnp.asarray(images))
+        rep = jax.device_put(qvars, replicated_sharding(mesh))
+        out = detect(rep, jax.device_put(images, dshard))
+        np.testing.assert_allclose(np.asarray(out.boxes),
+                                   np.asarray(ref.boxes), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.scores),
+                                   np.asarray(ref.scores), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out.valid),
+                                      np.asarray(ref.valid))
