@@ -83,6 +83,24 @@ def main(argv=None):
                             include_crowd=(args.protocol == "coco"))
     loader = Loader(dataset, cfg.data.batch_size, cfg.data.max_boxes,
                     shuffle=False)
+
+    # Distributed eval: when several devices are visible and the batch
+    # divides evenly, shard eval batches over the 'data' axis — linear eval
+    # speedup on a pod slice, a no-op on one chip.
+    import jax
+
+    data_shard = None
+    if jax.device_count() > 1 and cfg.data.batch_size % jax.device_count() == 0:
+        from shape_based_object_detection_tpu.parallel import (
+            batch_sharding, replicated_sharding,
+        )
+        from shape_based_object_detection_tpu.parallel.mesh import (
+            make_mesh_for_batch,
+        )
+
+        mesh = make_mesh_for_batch(cfg.data.batch_size, cfg=cfg.mesh)
+        data_shard = batch_sharding(mesh, cfg.mesh)
+        variables = jax.device_put(variables, replicated_sharding(mesh))
     coco_results = []
     is_coco_ds = hasattr(dataset, "coco")
     ev = Evaluator(area_scale=1.0 if is_coco_ds else cfg.model.image_size)
@@ -101,7 +119,10 @@ def main(argv=None):
 
     sample_idx = 0
     for i, batch in enumerate(loader.batches()):
-        det = detect(variables, jnp.asarray(batch.images))
+        images = jnp.asarray(batch.images)
+        if data_shard is not None:
+            images = jax.device_put(images, data_shard)
+        det = detect(variables, images)
         # detect() labels are 0-based foreground ids; GT labels are 1-based
         ev.add_batch(det, batch.boxes, batch.labels - 1, batch.valid,
                      gt_crowd=batch.crowd,

@@ -351,3 +351,18 @@ def test_train_cli_stale_checkpoint_clear_error(tmp_path, capsys):
         main(["--config", "tiny_retinanet", "--steps", "1",
               "--checkpoint-dir", ckpt, "--log-every", "100",
               "--workers", "0"])
+
+
+def test_eval_cli_sharded_over_virtual_devices(capsys):
+    """With batch divisible by the 8 virtual devices, eval_cli shards eval
+    batches over the 'data' axis (distributed eval); metrics match the
+    unsharded run on the same synthetic stream."""
+    from shape_based_object_detection_tpu.cli.eval_cli import main
+
+    main(["--config", "tiny_retinanet", "--protocol", "voc",
+          "--max-batches", "1", "--set", "data.batch_size=8"])
+    sharded = json.loads(capsys.readouterr().out)
+    main(["--config", "tiny_retinanet", "--protocol", "voc",
+          "--max-batches", "4", "--set", "data.batch_size=2"])
+    unsharded = json.loads(capsys.readouterr().out)
+    assert abs(sharded["mAP"] - unsharded["mAP"]) < 1e-6
