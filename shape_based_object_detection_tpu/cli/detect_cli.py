@@ -90,9 +90,7 @@ def _build_runner(args):
     jitted program compiles once and is reused across a directory."""
     from shape_based_object_detection_tpu import config as config_lib
     from shape_based_object_detection_tpu.models.factory import build_model
-    from shape_based_object_detection_tpu.detection import (
-        make_detect_fn, detect_single_image,
-    )
+    from shape_based_object_detection_tpu.detection import detect_single_image
 
     if args.artifact:
         from shape_based_object_detection_tpu.serving import ArtifactPredictor
@@ -133,17 +131,16 @@ def _build_runner(args):
                           else restored.params)
                 variables = {"params": params, **restored.extra_vars}
 
-        if args.quantize:
-            from shape_based_object_detection_tpu.quantize import (
-                make_quantized_detect_fn, quantize_params,
-            )
+        if args.int8_activations and not args.quantize:
+            raise SystemExit("--int8-activations requires --quantize")
+        from shape_based_object_detection_tpu.quantize import (
+            make_serving_detect,
+        )
 
-            variables = quantize_params(variables)
-            detect = make_quantized_detect_fn(
-                module, anchors, cfg.model, cfg.data,
-                int8_activations=args.int8_activations)
-        else:
-            detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
+        mode = ("full" if args.int8_activations else
+                "weights" if args.quantize else "")
+        detect, variables = make_serving_detect(
+            module, anchors, cfg.model, cfg.data, variables, mode)
 
         def run(img):
             # detect() labels are 0-based foreground ids; main() reports

@@ -16,7 +16,6 @@ import numpy as np
 def main(argv=None):
     from shape_based_object_detection_tpu import config as config_lib
     from shape_based_object_detection_tpu.models.factory import build_model
-    from shape_based_object_detection_tpu.detection import make_detect_fn
     from shape_based_object_detection_tpu.eval import Evaluator
     from shape_based_object_detection_tpu.data.pipeline import Loader
     from shape_based_object_detection_tpu.cli.train_cli import build_dataset
@@ -63,17 +62,10 @@ def main(argv=None):
         if restored is not None:
             variables = {"params": restored.params, **restored.extra_vars}
 
-    if args.quantize:
-        from shape_based_object_detection_tpu.quantize import (
-            make_quantized_detect_fn, quantize_params,
-        )
+    from shape_based_object_detection_tpu.quantize import make_serving_detect
 
-        variables = quantize_params(variables)
-        detect = make_quantized_detect_fn(
-            module, anchors, cfg.model, cfg.data,
-            int8_activations=(args.quantize == "full"))
-    else:
-        detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
+    detect, variables = make_serving_detect(
+        module, anchors, cfg.model, cfg.data, variables, args.quantize)
     # COCO protocol: crowd GT regions ride along as ignore regions, and the
     # area strata (32^2/96^2 px) follow pycocotools — ORIGINAL-image
     # annotation pixels, via per-image area factors when the dataset knows

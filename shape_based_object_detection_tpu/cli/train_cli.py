@@ -143,12 +143,17 @@ def main(argv=None):
     ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
     try:
         restored = ckpt.restore_latest(state)
-    except Exception as e:  # orbax structure mismatch dumps are unreadable
+    except ValueError as e:
+        # Only the orbax tree-structure mismatch gets the friendly wrapper
+        # (its raw dump is unreadable); IO/corruption errors propagate as-is
+        # so users don't delete a recoverable run on bad advice.
+        if "do not match" not in str(e):
+            raise
         raise SystemExit(
             f"checkpoint in {cfg.train.checkpoint_dir!r} does not match the "
             f"--config {args.config!r} model/optimizer structure (it was "
-            "likely written by a different config). Use a matching --config, "
-            "a fresh --checkpoint-dir, or delete the stale checkpoint.\n"
+            "likely written by a different config). Use a matching --config "
+            "or a fresh --checkpoint-dir.\n"
             f"original error: {type(e).__name__}: {str(e)[:500]}")
     if restored is not None:
         state = restored

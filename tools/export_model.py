@@ -42,6 +42,8 @@ def main(argv=None):
                         "checkpoint trained with ema_decay > 0)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
+    if args.int8_activations and not args.quantize:
+        raise SystemExit("--int8-activations requires --quantize")
 
     from shape_based_object_detection_tpu import config as config_lib
     from shape_based_object_detection_tpu import export as export_lib
