@@ -254,12 +254,36 @@ def main(argv=None):
                 break
         return ev.voc()["mAP"]
 
+    # Graceful preemption (SURVEY.md §5 failure recovery): on SIGTERM/SIGINT
+    # (pod preemption, scheduler eviction) finish the in-flight step, save a
+    # checkpoint, and exit 0 — the restart resumes from it. A second signal
+    # falls back to the default handler (hard kill).
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+        signal.signal(signum, signal.SIG_DFL)
+        print(f"received signal {signum}: checkpointing and exiting after "
+              "the current step (send again to kill)", flush=True)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(_sig, _on_signal)
+
     step = int(state.step)
     epoch = 0
     while step < cfg.train.total_steps:
         for batch in loader.device_batches(epoch, sharding=data_shard):
             state, metrics = train_step(state, batch._asdict())
             step += 1
+            if preempted["flag"]:
+                ckpt.save(state, step)
+                ckpt.wait()
+                loader.close()
+                print(f"preempted: checkpoint saved at step {step}",
+                      flush=True)
+                return
             line = logger.update(step, metrics, batch_size=cfg.data.batch_size)
             if line:
                 print(line, flush=True)

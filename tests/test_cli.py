@@ -366,3 +366,42 @@ def test_eval_cli_sharded_over_virtual_devices(capsys):
           "--max-batches", "4", "--set", "data.batch_size=2"])
     unsharded = json.loads(capsys.readouterr().out)
     assert abs(sharded["mAP"] - unsharded["mAP"]) < 1e-6
+
+
+def test_train_cli_graceful_preemption(tmp_path):
+    """SIGTERM (pod preemption) checkpoints after the in-flight step and
+    exits 0; a restart resumes from the saved step."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ckpt = str(tmp_path / "ckpt")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    p = subprocess.Popen(
+        [sys.executable, "-m",
+         "shape_based_object_detection_tpu.cli.train_cli",
+         "--config", "tiny_retinanet", "--steps", "100000",
+         "--checkpoint-dir", ckpt, "--log-every", "1", "--workers", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+    # wait until training is actually stepping, then preempt
+    deadline = time.time() + 420
+    for line in p.stdout:
+        if line.startswith("step ") or time.time() > deadline:
+            break
+    p.send_signal(signal.SIGTERM)
+    out = p.stdout.read()
+    assert p.wait(timeout=120) == 0, out
+    assert "preempted: checkpoint saved at step" in out
+
+    # the restart resumes from the preemption checkpoint
+    from shape_based_object_detection_tpu.cli.train_cli import main
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["--config", "tiny_retinanet", "--steps", "3",
+              "--checkpoint-dir", ckpt, "--log-every", "100",
+              "--workers", "0"])
+    assert "restored checkpoint at step" in buf.getvalue()
