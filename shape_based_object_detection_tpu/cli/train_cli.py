@@ -273,10 +273,26 @@ def main(argv=None):
 
     step = int(state.step)
     epoch = 0
+    nonfinite_steps = 0
     while step < cfg.train.total_steps:
         for batch in loader.device_batches(epoch, sharding=data_shard):
             state, metrics = train_step(state, batch._asdict())
             step += 1
+            # Divergence guard: the logger materializes metrics each step
+            # anyway, so this costs one scalar check. 3 consecutive
+            # non-finite losses = the run is destroyed (params are inf/NaN);
+            # abort with the recovery path instead of training garbage.
+            if not np.isfinite(float(np.asarray(metrics["loss"]))):
+                nonfinite_steps += 1
+                if nonfinite_steps >= 3:
+                    raise SystemExit(
+                        f"loss non-finite for {nonfinite_steps} consecutive "
+                        f"steps at step {step} — training has diverged. "
+                        "Resume from the last checkpoint in "
+                        f"{cfg.train.checkpoint_dir!r} with a lower "
+                        "train.base_lr (or enable train.grad_clip_norm).")
+            else:
+                nonfinite_steps = 0
             if preempted["flag"]:
                 ckpt.save(state, step)
                 ckpt.wait()

@@ -405,3 +405,15 @@ def test_train_cli_graceful_preemption(tmp_path):
               "--checkpoint-dir", ckpt, "--log-every", "100",
               "--workers", "0"])
     assert "restored checkpoint at step" in buf.getvalue()
+
+
+def test_train_cli_divergence_guard(tmp_path, capsys):
+    """3 consecutive non-finite losses abort with a recovery message
+    instead of training garbage."""
+    from shape_based_object_detection_tpu.cli.train_cli import main
+
+    with pytest.raises(SystemExit, match="training has diverged"):
+        main(["--config", "tiny_retinanet", "--steps", "30",
+              "--checkpoint-dir", str(tmp_path / "ckpt"), "--log-every",
+              "100", "--workers", "0", "--set", "train.base_lr=1e12",
+              "--set", "train.grad_clip_norm=1e30"])
