@@ -268,8 +268,11 @@ def main(argv=None):
         print(f"received signal {signum}: checkpointing and exiting after "
               "the current step (send again to kill)", flush=True)
 
-    for _sig in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(_sig, _on_signal)
+    try:
+        for _sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(_sig, _on_signal)
+    except ValueError:
+        pass  # main() called off the main thread: no preemption hook
 
     step = int(state.step)
     epoch = 0
