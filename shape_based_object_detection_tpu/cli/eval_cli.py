@@ -31,6 +31,8 @@ def main(argv=None):
                    help="override the preset's dataset kind (voc|coco|"
                         "synthetic), e.g. to eval a tiny model on real data")
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--per-class", action="store_true",
+                   help="include the per-class AP breakdown in the output")
     p.add_argument("--quantize", nargs="?", const="weights", default="",
                    choices=["weights", "full"],
                    help="evaluate the int8 serving path instead of float — "
@@ -153,7 +155,8 @@ def main(argv=None):
         print(f"wrote {len(coco_results)} results to {args.dump_results}",
               flush=True)
     metrics = ev.coco() if args.protocol == "coco" else ev.voc()
-    metrics.pop("per_class", None)
+    if not args.per_class:
+        metrics.pop("per_class", None)
     print(json.dumps(metrics, indent=2))
 
 
