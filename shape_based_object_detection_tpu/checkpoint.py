@@ -51,13 +51,11 @@ class CheckpointManager:
         except Exception as first_err:
             # orbax StandardRestore raises on tree-structure mismatch before
             # any values are read; toggle the EMA subtree and retry once.
+            # (template.params is used only as an abstract structure here,
+            # so no copy is needed)
             alt = template.replace(
-                ema_params=(
-                    None
-                    if template.ema_params is not None
-                    else jax.tree_util.tree_map(lambda x: x, template.params)
-                )
-            )
+                ema_params=(None if template.ema_params is not None
+                            else template.params))
             try:
                 return self._mgr.restore(
                     step, args=ocp.args.StandardRestore(alt)
@@ -109,15 +107,26 @@ class BestCheckpointKeeper:
     def maybe_save(self, state: TrainState, step: int, value: float) -> bool:
         """Saves iff ``value`` beats the best so far; returns whether saved."""
         import json
+        import math
 
-        if value <= self.best_value:
+        # a NaN metric must never become best_value: NaN fails every
+        # comparison, so it would both save here AND let any later value
+        # (however bad) overwrite the true best
+        if not math.isfinite(value) or value <= self.best_value:
             return False
         self.best_value = float(value)
         self.best_step = int(step)
+        # metadata first, atomically (tmp + rename). If the process dies
+        # between the two writes, best.json is merely AHEAD of the stored
+        # weights (updates are missed until a value beats it). The reverse
+        # order is worse: a stale best.json lets a later WORSE value evict
+        # the true best checkpoint (max_to_keep=1) permanently.
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"step": self.best_step, "value": self.best_value}, f)
+        os.replace(tmp, self._meta_path)
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=True)
         self._mgr.wait_until_finished()
-        with open(self._meta_path, "w") as f:
-            json.dump({"step": self.best_step, "value": self.best_value}, f)
         return True
 
     def restore_best(self, template: TrainState) -> Optional[TrainState]:

@@ -95,8 +95,16 @@ def _match_class(
     area_range: Optional[Tuple[float, float]] = None,  # in px^2
     max_det: Optional[int] = None,  # per image (per class)
     area_factors: Optional[Dict[int, float]] = None,  # image_id -> px^2/unit
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    return_ranks: bool = False,
+) -> Tuple[np.ndarray, ...]:
     """COCOeval-protocol greedy matching for one class.
+
+    ``return_ranks=True`` appends a fifth element: each kept detection's
+    per-image score rank (0-based). Greedy matching in score order means a
+    smaller-max_det result is EXACTLY the columns with rank < md (lower
+    -ranked detections can never alter higher-ranked outcomes), so AR@1/
+    AR@10 come from the max_det=100 match by truncation — the optimization
+    pycocotools uses in accumulate().
 
     Returns (tp (T, N), ignore (T, N), scores (N,), n_gt) with detections
     score-sorted descending. A GT is *ignored* if crowd or out of
@@ -131,8 +139,9 @@ def _match_class(
 
     if not dets:
         t = len(iou_thresholds)
-        return (np.zeros((t, 0), np.float32), np.zeros((t, 0), bool),
-                np.zeros(0), n_gt)
+        out = (np.zeros((t, 0), np.float32), np.zeros((t, 0), bool),
+               np.zeros(0), n_gt)
+        return out + (np.zeros(0, np.int32),) if return_ranks else out
 
     dets = sorted(dets, key=lambda d: -d[2])
     if max_det is not None:
@@ -144,6 +153,12 @@ def _match_class(
                 kept.append(d)
                 seen[d[0]] = c + 1
         dets = kept
+    ranks = np.empty(len(dets), np.int32)
+    _rank_seen: Dict[int, int] = {}
+    for i, d in enumerate(dets):
+        r = _rank_seen.get(d[0], 0)
+        ranks[i] = r
+        _rank_seen[d[0]] = r + 1
     scores = np.asarray([d[2] for d in dets])
     n = len(dets)
     t_count = len(iou_thresholds)
@@ -176,7 +191,8 @@ def _match_class(
             gt_crowd_flat, gt_ignore_flat, thr_arr)
         if native is not None:
             tp_n, ig_n = native
-            return tp_n.astype(np.float32), ig_n.astype(bool), scores, n_gt
+            out = (tp_n.astype(np.float32), ig_n.astype(bool), scores, n_gt)
+            return out + (ranks,) if return_ranks else out
 
     tp = np.zeros((t_count, n), np.float32)
     ig = np.zeros((t_count, n), bool)
@@ -217,7 +233,8 @@ def _match_class(
                     tp[t, i] = 1.0
             else:
                 ig[t, i] = det_oob_i
-    return tp, ig, scores, n_gt
+    return (tp, ig, scores, n_gt, ranks) if return_ranks else (
+        tp, ig, scores, n_gt)
 
 
 def _ap_from_tp(tp: np.ndarray, n_gt: int, interpolation: str,
@@ -296,8 +313,17 @@ def _group_by_class(
         for c in classes:
             m = g.labels == c
             if m.any():
-                gts_by_class[c][g.image_id] = np.asarray(g.boxes)[m]
-                crowd_by_class[c][g.image_id] = cr[m]
+                # several records may share an image_id (e.g. one record per
+                # COCO annotation): merge, never overwrite
+                prev = gts_by_class[c].get(g.image_id)
+                if prev is None:
+                    gts_by_class[c][g.image_id] = np.asarray(g.boxes)[m]
+                    crowd_by_class[c][g.image_id] = cr[m]
+                else:
+                    gts_by_class[c][g.image_id] = np.concatenate(
+                        [prev, np.asarray(g.boxes)[m]])
+                    crowd_by_class[c][g.image_id] = np.concatenate(
+                        [crowd_by_class[c][g.image_id], cr[m]])
     return sorted(classes), dets_by_class, gts_by_class, crowd_by_class
 
 
@@ -330,10 +356,10 @@ def coco_map(
     recalls = {md: [] for md in max_dets}
     for c in classes:
         dets, gts, crs = dets_by_class[c], gts_by_class[c], crowd_by_class[c]
-        tp, ig, scores, n_gt = _match_class(
+        tp, ig, scores, n_gt, ranks = _match_class(
             dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
             area_range=(0.0, 1e10), max_det=md_max,
-            area_factors=area_factors)
+            area_factors=area_factors, return_ranks=True)
         aps = _ap_from_tp(tp, n_gt, "101point", ig)
         per_class[c] = aps
         all_aps.append(aps)
@@ -341,11 +367,11 @@ def coco_map(
         for md in max_dets:
             if md == md_max:
                 continue
-            tp_m, ig_m, _, n_gt_m = _match_class(
-                dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
-                area_range=(0.0, 1e10), max_det=md,
-                area_factors=area_factors)
-            recalls[md].append(_recall_from_tp(tp_m, n_gt_m, ig_m))
+            # smaller max_det = per-image truncation of the md_max match
+            # (greedy score order; see _match_class docstring) — no re-match
+            keep = ranks < md
+            recalls[md].append(
+                _recall_from_tp(tp[:, keep], n_gt, ig[:, keep]))
         for name, lo, hi in strata:
             tp_a, ig_a, _, n_gt_a = _match_class(
                 dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
@@ -401,7 +427,11 @@ def voc_map(
         )
         ap = _ap_from_tp(tp, n_gt, "11point" if use_11point else "continuous",
                          ig)[0]
-        per_class[c] = float(ap) if np.isfinite(ap) else 0.0
+        # NaN = AP undefined (no countable GT, e.g. all-crowd): exclude the
+        # class from per_class and the mean, matching coco_map's nanmean
+        # (pycocotools -1) instead of deflating mAP with a fake 0.0
+        if np.isfinite(ap):
+            per_class[c] = float(ap)
     vals = [v for v in per_class.values()]
     return {
         "mAP": float(np.mean(vals)) if vals else 0.0,

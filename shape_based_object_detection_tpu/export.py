@@ -61,6 +61,9 @@ def export_detect(
     path into the exported program (quantize.py; plain StableHLO ops, so it
     stays portable across the exported platforms).
     """
+    if int8_activations and not quantize:
+        raise ValueError("int8_activations=True requires quantize=True (it "
+                         "is a tier on top of int8 weights)")
     detect = make_detect_fn(module, anchors_cxcywh, cfg, data_cfg,
                             use_pallas=False)
     if quantize:

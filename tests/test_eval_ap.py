@@ -1,6 +1,7 @@
 """First-party AP evaluation tests (component C19): hand-computed cases."""
 
 import numpy as np
+import pytest
 
 from shape_based_object_detection_tpu.eval.ap import (
     DetectionRecord, GroundTruthRecord, coco_map, voc_map,
@@ -260,3 +261,76 @@ def test_evaluator_area_factors_plumbing():
                  area_factors=np.asarray([1280.0 * 960.0]))
     m = ev.coco()
     assert m["APmedium"] == 1.0 and np.isnan(m["APsmall"])
+
+
+def test_group_by_class_merges_duplicate_image_records():
+    """Several GroundTruthRecords sharing an image_id (one record per COCO
+    annotation) merge instead of overwriting: both GTs are countable."""
+    from shape_based_object_detection_tpu.eval.ap import (
+        DetectionRecord, GroundTruthRecord, voc_map,
+    )
+
+    gts = [
+        GroundTruthRecord(image_id=0,
+                          boxes=np.asarray([[0.0, 0.0, 10.0, 10.0]]),
+                          labels=np.asarray([1])),
+        GroundTruthRecord(image_id=0,
+                          boxes=np.asarray([[20.0, 20.0, 30.0, 30.0]]),
+                          labels=np.asarray([1])),
+    ]
+    dets = [DetectionRecord(
+        image_id=0,
+        boxes=np.asarray([[0.0, 0.0, 10.0, 10.0], [20.0, 20.0, 30.0, 30.0]]),
+        scores=np.asarray([0.9, 0.8]), labels=np.asarray([1, 1]))]
+    m = voc_map(dets, gts, use_11point=False)
+    assert m["mAP"] == pytest.approx(1.0)  # both GTs found = perfect AP
+
+
+def test_voc_map_excludes_undefined_classes():
+    """A class whose GTs are all crowd (AP undefined) is excluded from the
+    mean instead of deflating it with 0.0 (coco_map nanmean semantics)."""
+    from shape_based_object_detection_tpu.eval.ap import (
+        DetectionRecord, GroundTruthRecord, voc_map,
+    )
+
+    gts = [GroundTruthRecord(
+        image_id=0,
+        boxes=np.asarray([[0.0, 0.0, 10.0, 10.0], [20.0, 20.0, 30.0, 30.0]]),
+        labels=np.asarray([1, 2]), crowd=np.asarray([False, True]))]
+    dets = [DetectionRecord(
+        image_id=0, boxes=np.asarray([[0.0, 0.0, 10.0, 10.0]]),
+        scores=np.asarray([0.9]), labels=np.asarray([1]))]
+    m = voc_map(dets, gts, use_11point=False)
+    assert m["mAP"] == pytest.approx(1.0)  # class 2 undefined, excluded
+    assert 2 not in m["per_class"]
+
+
+def test_ar_truncation_equals_rematch():
+    """AR@1/AR@10 derived by rank truncation equal a real re-match at the
+    smaller max_det (randomized cross-check)."""
+    from shape_based_object_detection_tpu.eval import ap as ap_lib
+
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        gts, crs, dets = {}, {}, []
+        for img in range(3):
+            g = rng.integers(1, 5)
+            b = rng.uniform(0, 80, (g, 2))
+            gts[img] = np.concatenate(
+                [b, b + rng.uniform(5, 30, (g, 2))], axis=1)
+            crs[img] = rng.random(g) < 0.25
+            for _d in range(int(rng.integers(3, 15))):
+                base = gts[img][rng.integers(0, g)]
+                jit = rng.normal(0, 4, 4)
+                dets.append((img, base + jit, float(rng.random())))
+        thr = ap_lib.COCO_IOU_THRESHOLDS
+        tp, ig, _, n_gt, ranks = ap_lib._match_class(
+            dets, gts, thr, crowd=crs, area_range=(0.0, 1e10), max_det=100,
+            return_ranks=True)
+        for md in (1, 3):
+            keep = ranks < md
+            trunc = ap_lib._recall_from_tp(tp[:, keep], n_gt, ig[:, keep])
+            tp_m, ig_m, _, n_gt_m = ap_lib._match_class(
+                dets, gts, thr, crowd=crs, area_range=(0.0, 1e10), max_det=md)
+            rematch = ap_lib._recall_from_tp(tp_m, n_gt_m, ig_m)
+            np.testing.assert_allclose(trunc, rematch)

@@ -102,3 +102,10 @@ def test_export_dtype_override(tiny_cfg, rng):
     size = loaded.header["image_size"]
     det = loaded(rng.integers(0, 255, (1, size, size, 3)).astype(np.uint8))
     assert det.boxes.shape[0] == 1
+
+
+def test_export_int8_activations_requires_quantize(tiny_cfg):
+    with pytest.raises(ValueError, match="requires quantize"):
+        export_lib.export_from_config(tiny_cfg, batch_size=1,
+                                      platforms=("cpu",), quantize=False,
+                                      int8_activations=True)

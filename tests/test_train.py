@@ -398,3 +398,25 @@ def test_checkpoint_ema_structure_mismatch_both_ways(tiny_setup, tmp_path):
     restored2 = CheckpointManager(d2, async_save=False).restore_latest(
         ema_template)
     assert restored2 is not None and restored2.ema_params is None
+
+
+def test_best_keeper_rejects_nan_and_is_ordered(tmp_path):
+    """A NaN metric never becomes best_value (it would poison every later
+    comparison), and best.json is written atomically before the save."""
+    import json
+    import os
+
+    import numpy as np
+
+    from shape_based_object_detection_tpu.checkpoint import BestCheckpointKeeper
+
+    keeper = BestCheckpointKeeper(str(tmp_path / "best"))
+    state = {"w": np.zeros(3, np.float32)}
+    assert not keeper.maybe_save(state, 1, float("nan"))
+    assert keeper.best_step == -1  # NaN rejected outright
+    assert keeper.maybe_save(state, 2, 0.4)
+    assert not keeper.maybe_save(state, 3, 0.3)  # worse value rejected
+    meta = json.loads((tmp_path / "best" / "best.json").read_text())
+    assert meta == {"step": 2, "value": 0.4}
+    assert not os.path.exists(str(tmp_path / "best" / "best.json.tmp"))
+    keeper.close()
