@@ -73,8 +73,7 @@ def main(argv=None):
     # annotation pixels, via per-image area factors when the dataset knows
     # its original sizes (COCO does); otherwise the uniform
     # network-input-pixel fallback applies.
-    dataset = build_dataset(cfg, args,
-                            include_crowd=(args.protocol == "coco"))
+    dataset = build_dataset(cfg, args, include_ignore=True)
     loader = Loader(dataset, cfg.data.batch_size, cfg.data.max_boxes,
                     shuffle=False)
 
@@ -117,11 +116,14 @@ def main(argv=None):
         if data_shard is not None:
             images = jax.device_put(images, data_shard)
         det = detect(variables, images)
-        # detect() labels are 0-based foreground ids; GT labels are 1-based
+        # detect() labels are 0-based foreground ids; GT labels are 1-based.
+        # The flag channel is COCO crowd (crowd-IoU ignore) or VOC difficult
+        # (plain-IoU ignore, the official VOC protocol) by dataset kind.
+        flag_kw = "gt_crowd" if is_coco_ds else "gt_ignore"
         ev.add_batch(det, batch.boxes, batch.labels - 1, batch.valid,
-                     gt_crowd=batch.crowd,
                      area_factors=batch_area_factors(
-                         sample_idx, batch.images.shape[0]))
+                         sample_idx, batch.images.shape[0]),
+                     **{flag_kw: batch.crowd})
         if args.dump_results and is_coco_ds:
             # recover original image ids/sizes for the same dataset rows
             from shape_based_object_detection_tpu.utils.image import (

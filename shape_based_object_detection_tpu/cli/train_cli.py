@@ -14,7 +14,10 @@ import jax
 import numpy as np
 
 
-def build_dataset(cfg, args, include_crowd: bool = False):
+def build_dataset(cfg, args, include_ignore: bool = False):
+    """``include_ignore=True`` (eval protocol) makes the dataset carry its
+    ignore-region flags: COCO crowd annotations / VOC difficult objects.
+    Training leaves it False so neither ever becomes a positive."""
     from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
     from shape_based_object_detection_tpu.data.voc import VOCDetection
     from shape_based_object_detection_tpu.data.coco import CocoDetection
@@ -23,10 +26,10 @@ def build_dataset(cfg, args, include_crowd: bool = False):
     lb = cfg.data.letterbox
     if args.data_root and cfg.data.dataset == "voc":
         return VOCDetection(args.data_root, split=args.split, image_size=size,
-                            letterbox=lb)
+                            letterbox=lb, include_difficult=include_ignore)
     if args.data_root and cfg.data.dataset == "coco":
         return CocoDetection(args.data_root, args.ann_file, image_size=size,
-                             letterbox=lb, include_crowd=include_crowd)
+                             letterbox=lb, include_crowd=include_ignore)
     return SyntheticDetection(size=size, num_images=max(64, cfg.data.batch_size * 4),
                               num_classes=cfg.model.num_classes)
 
@@ -136,8 +139,7 @@ def main(argv=None):
     state = train_lib.create_train_state(module, variables, cfg)
     train_step = train_lib.make_train_step(module, anchors, cfg)
 
-    per_host_batch = cfg.data.batch_size // max(1, jax.process_count())
-    mesh = make_mesh_for_batch(per_host_batch, cfg=cfg.mesh)
+    mesh = make_mesh_for_batch(cfg.data.batch_size, cfg=cfg.mesh)
     data_shard = batch_sharding(mesh, cfg.mesh)
 
     ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
@@ -222,7 +224,7 @@ def main(argv=None):
         val_args = argparse.Namespace(
             data_root=args.val_root, ann_file=args.val_ann_file or args.ann_file,
             split=args.val_split)
-        val_dataset = build_dataset(cfg, val_args)
+        val_dataset = build_dataset(cfg, val_args, include_ignore=True)
         val_loader = Loader(val_dataset, cfg.data.batch_size,
                             cfg.data.max_boxes, shuffle=False,
                             workers=args.workers)
@@ -246,10 +248,13 @@ def main(argv=None):
         cap = args.val_batches if (use_val and args.val_batches) else (
             0 if use_val else 5)
         ev = Evaluator(area_scale=cfg.model.image_size)
+        # the batch's flag channel is COCO crowd (crowd-IoU ignore) or VOC
+        # difficult (plain ignore) depending on the dataset kind
+        flag_kw = ("gt_crowd" if cfg.data.dataset == "coco" else "gt_ignore")
         for i, b in enumerate(src.batches()):
             det = eval_step(state, b.images)
             ev.add_batch(det, b.boxes, b.labels - 1, b.valid,
-                         gt_crowd=b.crowd)
+                         **{flag_kw: b.crowd})
             if cap and i + 1 >= cap:
                 break
         return ev.voc()["mAP"]

@@ -133,14 +133,13 @@ def _build_cache_locked(dataset, out_dir: str, max_boxes: int, workers: int,
     def write(i: int) -> None:
         sample = dataset[i]
         img, bx, lb = sample[:3]
-        b, l, v = pad_annotations(bx, lb, max_boxes)
+        flags = sample[3] if len(sample) > 3 else np.zeros(len(bx), bool)
+        b, l, v, f = pad_annotations(bx, lb, max_boxes, flags=flags)
         images[i] = img
         boxes[i] = b
         labels[i] = l
         valid[i] = v
-        if len(sample) > 3:
-            g = min(len(sample[3]), max_boxes)
-            crowd[i, :g] = np.asarray(sample[3], bool)[:g]
+        crowd[i] = f
         if i % 256 == 0:
             os.utime(lock_path)  # keep the lock fresh for waiting processes
 

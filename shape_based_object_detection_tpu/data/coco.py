@@ -101,6 +101,7 @@ class CocoDetection:
             img = np.asarray(
                 Image.fromarray(img).resize((s, s), Image.BILINEAR), np.uint8
             )
+        # (boxes_px_to_input_norm already clips to the canvas)
         if self.include_crowd:
-            return img, np.clip(boxes, 0.0, 1.0), labels, ann[2]
-        return img, np.clip(boxes, 0.0, 1.0), labels
+            return img, boxes, labels, ann[2]
+        return img, boxes, labels

@@ -30,9 +30,14 @@ class DetectionBatch(NamedTuple):
 
 
 def pad_annotations(
-    boxes: np.ndarray, labels: np.ndarray, max_boxes: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(G, 4), (G,) -> fixed (max_boxes, ...) + validity mask."""
+    boxes: np.ndarray, labels: np.ndarray, max_boxes: int,
+    flags: Optional[np.ndarray] = None,
+):
+    """(G, 4), (G,) -> fixed (max_boxes, ...) + validity mask.
+
+    ``flags`` (G,) bool (e.g. crowd/ignore) pads alongside with the SAME
+    truncation rule and comes back as a fourth array — the single source of
+    truth for padding semantics."""
     g = min(len(boxes), max_boxes)
     out_boxes = np.zeros((max_boxes, 4), np.float32)
     out_labels = np.zeros((max_boxes,), np.int32)
@@ -41,7 +46,12 @@ def pad_annotations(
         out_boxes[:g] = boxes[:g]
         out_labels[:g] = labels[:g]
         out_valid[:g] = True
-    return out_boxes, out_labels, out_valid
+    if flags is None:
+        return out_boxes, out_labels, out_valid
+    out_flags = np.zeros((max_boxes,), bool)
+    if g:
+        out_flags[:g] = np.asarray(flags, bool)[:g]
+    return out_boxes, out_labels, out_valid, out_flags
 
 
 class Loader:
@@ -101,23 +111,31 @@ class Loader:
         if self.shuffle:
             # identical permutation on every host, then shard (multi-host DP)
             np.random.default_rng(self.seed + epoch).shuffle(idx)
+        # every host must see the SAME number of samples (and thus dispatch
+        # the same number of collective-bearing steps per epoch): truncate to
+        # a multiple of num_hosts before striding
+        idx = idx[: n - n % self.num_hosts]
         return idx[self.host_id :: self.num_hosts]
 
     def _sample(self, i):
         sample = self.dataset[int(i)]
         img, boxes, labels = sample[:3]
-        b, l, v = pad_annotations(boxes, labels, self.max_boxes)
-        if len(sample) > 3:  # optional per-box crowd flags (eval protocol)
-            cr = np.zeros((self.max_boxes,), bool)
-            g = min(len(sample[3]), self.max_boxes)
-            cr[:g] = np.asarray(sample[3], bool)[:g]
-        else:
-            cr = np.zeros((self.max_boxes,), bool)
+        # optional 4th element: per-box crowd/ignore flags (eval protocol)
+        flags = (sample[3] if len(sample) > 3
+                 else np.zeros(len(boxes), bool))
+        b, l, v, cr = pad_annotations(boxes, labels, self.max_boxes,
+                                      flags=flags)
         return img, b, l, v, cr
 
     def batches(self, epoch: int = 0) -> Iterator[DetectionBatch]:
         idx = self._epoch_indices(epoch)
         bs = self.batch_size
+        if len(idx) < bs:
+            # fail fast: yielding zero batches turns callers' epoch loops
+            # into silent infinite spins
+            raise ValueError(
+                f"per-host shard has {len(idx)} samples < batch_size {bs}: "
+                "shrink the batch or grow the dataset")
         for start in range(0, len(idx) - bs + 1, bs):
             chunk = idx[start : start + bs]
             if self._pool is not None:
@@ -136,29 +154,64 @@ class Loader:
     def device_batches(
         self, epoch: int = 0, sharding: Optional["jax.sharding.Sharding"] = None
     ) -> Iterator[DetectionBatch]:
-        """Background-thread prefetch: host prep overlaps device compute."""
+        """Background-thread prefetch: host prep overlaps device compute.
+
+        Multi-process (a real pod), each process holds only its host's shard
+        of the batch, so arrays are assembled with
+        ``jax.make_array_from_process_local_data`` — a plain ``device_put``
+        of a local array against a global sharding would reinterpret each
+        host's shard as the whole global batch and silently drop
+        (num_hosts-1)/num_hosts of every batch."""
         q: queue_lib.Queue = queue_lib.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
         error: list = []
+        multiproc = sharding is not None and jax.process_count() > 1
+
+        def transfer(x):
+            if multiproc:
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x))
+            return jax.device_put(x, sharding)
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # generator — otherwise this thread (and its prefetched
+            # device-resident batches) would live until process exit
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_lib.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in self.batches(epoch):
-                    arrays = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, sharding), batch
-                    )
-                    q.put(arrays)
+                    if cancel.is_set():
+                        return
+                    if not put(jax.tree_util.tree_map(transfer, batch)):
+                        return
             except BaseException as e:  # surface in the consumer, never hang
                 error.append(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                if error:
-                    raise error[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            cancel.set()
+            while True:  # release a producer blocked on a full queue
+                try:
+                    q.get_nowait()
+                except queue_lib.Empty:
+                    break

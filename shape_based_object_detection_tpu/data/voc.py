@@ -23,16 +23,24 @@ VOC_CLASS_TO_ID = {c: i + 1 for i, c in enumerate(VOC_CLASSES)}  # 1-based
 
 
 def parse_voc_xml(path: str, keep_difficult: bool = False
-                  ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
-    """Returns (boxes_px xyxy (G,4), labels (G,), (height, width))."""
+                  ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int],
+                             np.ndarray]:
+    """Returns (boxes_px xyxy (G,4), labels (G,), (height, width),
+    difficult (G,) bool).
+
+    ``keep_difficult=False`` (training) drops difficult objects entirely —
+    the family's training convention. ``keep_difficult=True`` (eval) keeps
+    them with the flag set, for ignore-region scoring (the official VOC
+    protocol: difficult GT counts in neither TP nor FP)."""
     root = ET.parse(path).getroot()
     size = root.find("size")
     h = int(size.find("height").text)
     w = int(size.find("width").text)
-    boxes, labels = [], []
+    boxes, labels, difficult = [], [], []
     for obj in root.iter("object"):
-        difficult = obj.find("difficult")
-        if not keep_difficult and difficult is not None and difficult.text == "1":
+        diff = obj.find("difficult")
+        is_diff = diff is not None and diff.text == "1"
+        if not keep_difficult and is_diff:
             continue
         name = obj.find("name").text.strip().lower()
         if name not in VOC_CLASS_TO_ID:
@@ -45,23 +53,30 @@ def parse_voc_xml(path: str, keep_difficult: bool = False
         y1 = float(bb.find("ymax").text) - 1
         boxes.append([x0, y0, x1, y1])
         labels.append(VOC_CLASS_TO_ID[name])
+        difficult.append(is_diff)
     return (
         np.asarray(boxes, np.float32).reshape(-1, 4),
         np.asarray(labels, np.int32),
         (h, w),
+        np.asarray(difficult, bool),
     )
 
 
 class VOCDetection:
-    """Indexable dataset of (image_u8 (S,S,3), boxes_norm (G,4), labels (G,))."""
+    """Indexable dataset of (image_u8 (S,S,3), boxes_norm (G,4), labels (G,)).
+
+    ``include_difficult=True`` (eval protocol) keeps difficult objects and
+    appends their (G,) bool flag to each sample — routed into the evaluator
+    as plain ignore regions (official VOC scoring). Training leaves it False
+    so difficult objects never become positives (family convention)."""
 
     def __init__(self, root: str, split: str = "train", image_size: int = 300,
-                 keep_difficult: bool = False,
+                 include_difficult: bool = False,
                  ids: Sequence[str] | None = None,
                  letterbox: bool = False):
         self.root = root
         self.image_size = image_size
-        self.keep_difficult = keep_difficult
+        self.include_difficult = include_difficult
         self.letterbox = letterbox
         if ids is not None:
             self.ids: List[str] = list(ids)
@@ -81,9 +96,9 @@ class VOCDetection:
 
         img_id = self.ids[i]
         img = decode_image_host(os.path.join(self.root, "JPEGImages", f"{img_id}.jpg"))
-        boxes_px, labels, (h, w) = parse_voc_xml(
+        boxes_px, labels, (h, w), difficult = parse_voc_xml(
             os.path.join(self.root, "Annotations", f"{img_id}.xml"),
-            self.keep_difficult,
+            keep_difficult=self.include_difficult,
         )
         boxes = boxes_px_to_input_norm(boxes_px, h, w, self.letterbox)
         s = self.image_size
@@ -93,4 +108,6 @@ class VOCDetection:
             img = np.asarray(
                 Image.fromarray(img).resize((s, s), Image.BILINEAR), np.uint8
             )
+        if self.include_difficult:
+            return img, boxes, labels, difficult
         return img, boxes, labels

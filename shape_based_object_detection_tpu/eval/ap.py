@@ -62,6 +62,10 @@ class GroundTruthRecord:
     # resize, max(W, H)^2 for letterbox. 1.0 when boxes are already in
     # original pixels.
     area_factor: float = 1.0
+    # (G,) bool: ignore WITHOUT crowd-IoU semantics (VOC "difficult"): the GT
+    # matches by normal IoU but counts in neither n_gt nor FP. Crowd implies
+    # ignore too, additionally switching its IoU to intersection/det-area.
+    ignore: Optional[np.ndarray] = None
 
 
 def _iou_matrix_np(a: np.ndarray, b: np.ndarray,
@@ -95,6 +99,7 @@ def _match_class(
     area_range: Optional[Tuple[float, float]] = None,  # in px^2
     max_det: Optional[int] = None,  # per image (per class)
     area_factors: Optional[Dict[int, float]] = None,  # image_id -> px^2/unit
+    ignore: Optional[Dict[int, np.ndarray]] = None,  # ignore w/o crowd-IoU
     return_ranks: bool = False,
 ) -> Tuple[np.ndarray, ...]:
     """COCOeval-protocol greedy matching for one class.
@@ -129,6 +134,9 @@ def _match_class(
               if crowd is not None and img in crowd and crowd[img] is not None
               else np.zeros(len(boxes), bool))
         gig = cr.copy()
+        if (ignore is not None and img in ignore
+                and ignore[img] is not None):
+            gig |= np.asarray(ignore[img], bool)
         if area_range is not None:
             a = _box_areas(boxes) * _factor(img)
             gig |= (a < area_range[0]) | (a > area_range[1])
@@ -302,6 +310,7 @@ def _group_by_class(
     dets_by_class: Dict[int, List] = {c: [] for c in classes}
     gts_by_class: Dict[int, Dict[int, np.ndarray]] = {c: {} for c in classes}
     crowd_by_class: Dict[int, Dict[int, np.ndarray]] = {c: {} for c in classes}
+    ig_by_class: Dict[int, Dict[int, np.ndarray]] = {c: {} for c in classes}
     for d in detections:
         for box, score, label in zip(d.boxes, d.scores, d.labels):
             if int(label) in dets_by_class:
@@ -309,6 +318,8 @@ def _group_by_class(
                     (d.image_id, np.asarray(box), float(score)))
     for g in ground_truth:
         cr = (np.asarray(g.crowd, bool) if g.crowd is not None
+              else np.zeros(len(g.labels), bool))
+        gi = (np.asarray(g.ignore, bool) if g.ignore is not None
               else np.zeros(len(g.labels), bool))
         for c in classes:
             m = g.labels == c
@@ -319,12 +330,16 @@ def _group_by_class(
                 if prev is None:
                     gts_by_class[c][g.image_id] = np.asarray(g.boxes)[m]
                     crowd_by_class[c][g.image_id] = cr[m]
+                    ig_by_class[c][g.image_id] = gi[m]
                 else:
                     gts_by_class[c][g.image_id] = np.concatenate(
                         [prev, np.asarray(g.boxes)[m]])
                     crowd_by_class[c][g.image_id] = np.concatenate(
                         [crowd_by_class[c][g.image_id], cr[m]])
-    return sorted(classes), dets_by_class, gts_by_class, crowd_by_class
+                    ig_by_class[c][g.image_id] = np.concatenate(
+                        [ig_by_class[c][g.image_id], gi[m]])
+    return (sorted(classes), dets_by_class, gts_by_class, crowd_by_class,
+            ig_by_class)
 
 
 def coco_map(
@@ -343,8 +358,8 @@ def coco_map(
     GroundTruthRecord's ``area_factor`` (times ``area_scale``^2, a uniform
     fallback for callers whose boxes are normalized to a square canvas of
     known size and whose images were natively that size)."""
-    classes, dets_by_class, gts_by_class, crowd_by_class = _group_by_class(
-        detections, ground_truth)
+    (classes, dets_by_class, gts_by_class, crowd_by_class,
+     ig_by_class) = _group_by_class(detections, ground_truth)
     s2 = float(area_scale) ** 2
     area_factors = {g.image_id: float(g.area_factor) * s2
                     for g in ground_truth}
@@ -359,7 +374,8 @@ def coco_map(
         tp, ig, scores, n_gt, ranks = _match_class(
             dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
             area_range=(0.0, 1e10), max_det=md_max,
-            area_factors=area_factors, return_ranks=True)
+            area_factors=area_factors, ignore=ig_by_class[c],
+            return_ranks=True)
         aps = _ap_from_tp(tp, n_gt, "101point", ig)
         per_class[c] = aps
         all_aps.append(aps)
@@ -376,7 +392,7 @@ def coco_map(
             tp_a, ig_a, _, n_gt_a = _match_class(
                 dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
                 area_range=(lo, hi), max_det=md_max,
-                area_factors=area_factors)
+                area_factors=area_factors, ignore=ig_by_class[c])
             strat_aps[name].append(_ap_from_tp(tp_a, n_gt_a, "101point", ig_a))
 
     if not all_aps:
@@ -417,13 +433,13 @@ def voc_map(
     iou_threshold: float = 0.5,
     use_11point: bool = True,
 ) -> Dict[str, float]:
-    classes, dets_by_class, gts_by_class, crowd_by_class = _group_by_class(
-        detections, ground_truth)
+    (classes, dets_by_class, gts_by_class, crowd_by_class,
+     ig_by_class) = _group_by_class(detections, ground_truth)
     per_class = {}
     for c in classes:
         tp, ig, scores, n_gt = _match_class(
             dets_by_class[c], gts_by_class[c], np.asarray([iou_threshold]),
-            crowd=crowd_by_class[c],
+            crowd=crowd_by_class[c], ignore=ig_by_class[c],
         )
         ap = _ap_from_tp(tp, n_gt, "11point" if use_11point else "continuous",
                          ig)[0]
@@ -452,9 +468,11 @@ class Evaluator:
         self._next_id = 0
 
     def add_batch(self, det, gt_boxes, gt_labels, gt_valid,
-                  gt_crowd=None, area_factors=None) -> None:
+                  gt_crowd=None, area_factors=None, gt_ignore=None) -> None:
         """det: ops.nms.Detections (device or numpy); gt_*: (B, G, ...).
-        ``gt_crowd`` (B, G) bool marks crowd/ignore GT regions.
+        ``gt_crowd`` (B, G) bool marks crowd GT regions (ignored AND matched
+        with the crowd intersection/det-area IoU). ``gt_ignore`` (B, G) bool
+        marks plain ignore regions matched by normal IoU (VOC "difficult").
         ``area_factors`` (B,): original-image px^2 per normalized box-area
         unit (W*H for square resize, max(W, H)^2 for letterbox) — feeds the
         COCOeval area strata in true annotation pixels. When omitted, the
@@ -467,6 +485,7 @@ class Evaluator:
         gt_labels = np.asarray(gt_labels)
         gt_valid = np.asarray(gt_valid)
         gt_crowd = None if gt_crowd is None else np.asarray(gt_crowd)
+        gt_ignore = None if gt_ignore is None else np.asarray(gt_ignore)
         for b in range(boxes.shape[0]):
             img_id = self._next_id
             self._next_id += 1
@@ -480,7 +499,8 @@ class Evaluator:
                     img_id, gt_boxes[b][gv], gt_labels[b][gv],
                     None if gt_crowd is None else gt_crowd[b][gv],
                     area_factor=(float(area_factors[b])
-                                 if area_factors is not None else 1.0))
+                                 if area_factors is not None else 1.0),
+                    ignore=(None if gt_ignore is None else gt_ignore[b][gv]))
             )
 
     def coco(self) -> Dict[str, float]:

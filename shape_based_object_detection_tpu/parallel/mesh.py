@@ -39,18 +39,31 @@ def make_mesh(
 
 
 def make_mesh_for_batch(
-    batch_size: int,
+    global_batch: int,
     devices: Optional[Sequence] = None,
     cfg: MeshConfig = MeshConfig(),
 ) -> Mesh:
-    """Mesh whose data axis divides ``batch_size`` (a per-host batch smaller
-    than the device count otherwise cannot be laid out)."""
+    """Mesh whose data axis divides the GLOBAL batch size.
+
+    Single-process, a global batch smaller than (or not divisible by) the
+    device count shrinks the data axis to the largest divisor — useful for
+    tiny batches on the 8-virtual-device test mesh. Multi-process, shrinking
+    would drop whole hosts' devices from the mesh (jax.devices() is
+    process-grouped, so a truncated mesh can leave some processes owning
+    zero devices while their collectives hang) — there it is an error."""
     if devices is None:
         devices = jax.devices()
     mp = max(1, cfg.model_parallelism)
     n_data = len(devices) // mp
-    while n_data > 1 and batch_size % n_data != 0:
-        n_data -= 1
+    if global_batch % n_data != 0:
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"global batch {global_batch} is not divisible by the data-"
+                f"axis size {n_data} ({len(devices)} devices / "
+                f"model_parallelism={mp}); adjust data.batch_size — the mesh "
+                "cannot be shrunk across processes")
+        while n_data > 1 and global_batch % n_data != 0:
+            n_data -= 1
     return make_mesh(list(devices)[: n_data * mp], cfg)
 
 

@@ -37,11 +37,17 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_lr_schedule(cfg) -> optax.Schedule:
-    """Linear warmup then piecewise step decay (the family's schedule)."""
-    boundaries = {int(s): cfg.lr_decay_factor for s in cfg.lr_decay_steps}
+    """Linear warmup then piecewise step decay (the family's schedule).
+
+    ``lr_decay_steps`` are GLOBAL step numbers: join_schedules passes
+    (step - warmup_steps) into the post-warmup schedule, so the piecewise
+    boundaries must be shifted by -warmup_steps to fire where named."""
+    warmup_steps = max(1, cfg.warmup_steps)
+    boundaries = {max(1, int(s) - warmup_steps): cfg.lr_decay_factor
+                  for s in cfg.lr_decay_steps}
     decay = optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
-    warmup = optax.linear_schedule(0.0, cfg.base_lr, max(1, cfg.warmup_steps))
-    return optax.join_schedules([warmup, decay], [max(1, cfg.warmup_steps)])
+    warmup = optax.linear_schedule(0.0, cfg.base_lr, warmup_steps)
+    return optax.join_schedules([warmup, decay], [warmup_steps])
 
 
 def decay_mask(params):

@@ -80,10 +80,14 @@ def boxes_px_to_input_norm(boxes_px: np.ndarray, h: int, w: int,
 
     Square-resize mode divides by (W, H); letterbox mode divides by
     max(H, W) (the content occupies the top-left fraction of the canvas).
+    Out-of-bounds annotations (present in real VOC/COCO files) are clipped
+    to the canvas uniformly for every dataset.
     """
     if letterbox:
-        return boxes_px / np.float32(max(h, w))
-    return boxes_px / np.array([w, h, w, h], np.float32)
+        out = boxes_px / np.float32(max(h, w))
+    else:
+        out = boxes_px / np.array([w, h, w, h], np.float32)
+    return np.clip(out, 0.0, 1.0)
 
 
 def boxes_norm_to_original_px(boxes_norm: np.ndarray, h: int, w: int,

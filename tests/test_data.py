@@ -74,14 +74,16 @@ VOC_XML = """<annotation>
 def test_parse_voc_xml(tmp_path):
     p = tmp_path / "im1.xml"
     p.write_text(VOC_XML)
-    boxes, labels, (h, w) = parse_voc_xml(str(p))
+    boxes, labels, (h, w), difficult = parse_voc_xml(str(p))
     assert (h, w) == (200, 100)
     assert boxes.shape == (1, 4)  # difficult cat skipped
     np.testing.assert_allclose(boxes[0], [10, 20, 50, 100])
     assert labels[0] == 12  # dog is class 12 (1-based) in VOC ordering
+    assert not difficult.any()
 
-    boxes2, labels2, _ = parse_voc_xml(str(p), keep_difficult=True)
+    boxes2, labels2, _, diff2 = parse_voc_xml(str(p), keep_difficult=True)
     assert boxes2.shape == (2, 4)
+    assert diff2.tolist() == [False, True]
 
 
 def test_voc_dataset_end_to_end(tmp_path):
@@ -282,3 +284,61 @@ print("built-ok")
     assert len(mm) == 16
     ref = SyntheticDetection(size=48, num_images=16, num_classes=4)[0]
     np.testing.assert_array_equal(mm[0][0], ref[0])
+
+
+def test_loader_host_shards_equal_length():
+    """Hosts always yield identical batch counts (unequal shards would
+    deadlock SPMD collectives): odd datasets truncate."""
+    ds = SyntheticDetection(size=32, num_images=15)
+    l0 = Loader(ds, 2, 4, host_id=0, num_hosts=2)
+    l1 = Loader(ds, 2, 4, host_id=1, num_hosts=2)
+    i0, i1 = l0._epoch_indices(0), l1._epoch_indices(0)
+    assert len(i0) == len(i1) == 7
+    assert len(set(i0) & set(i1)) == 0
+
+
+def test_loader_raises_when_shard_smaller_than_batch():
+    ds = SyntheticDetection(size=32, num_images=4)
+    loader = Loader(ds, batch_size=8, max_boxes=4)
+    with pytest.raises(ValueError, match="batch_size"):
+        next(loader.batches())
+
+
+def test_voc_difficult_as_ignore(tmp_path):
+    """include_difficult=True routes VOC difficult objects into eval as
+    plain ignore regions: a detection on one is neither TP nor FP (official
+    VOC protocol), and missing one costs no recall."""
+    from PIL import Image
+
+    from shape_based_object_detection_tpu.eval import Evaluator
+
+    root = tmp_path / "VOC"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "Annotations").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    Image.fromarray(np.zeros((200, 100, 3), np.uint8)).save(
+        root / "JPEGImages" / "im1.jpg")
+    (root / "Annotations" / "im1.xml").write_text(VOC_XML)
+    (root / "ImageSets" / "Main" / "val.txt").write_text("im1\n")
+
+    ds = VOCDetection(str(root), "val", image_size=64, include_difficult=True)
+    img, boxes, labels, difficult = ds[0]
+    assert difficult.tolist() == [False, True]
+
+    class Det:  # minimal Detections stand-in
+        def __init__(self, b, s, l, v):
+            self.boxes, self.scores, self.labels, self.valid = b, s, l, v
+
+    # detect BOTH objects perfectly; the difficult one must not add TP or FP
+    det = Det(boxes[None], np.asarray([[0.9, 0.8]], np.float32),
+              (labels - 1)[None], np.ones((1, 2), bool))
+    ev = Evaluator()
+    ev.add_batch(det, boxes[None], (labels - 1)[None],
+                 np.ones((1, 2), bool), gt_ignore=difficult[None])
+    m = ev.voc()
+    assert m["mAP"] == pytest.approx(1.0)
+    # a class whose only GT is difficult has UNDEFINED AP (n_gt=0): it is
+    # excluded from per_class/mAP (pycocotools -1 semantics), and the
+    # overall mAP rests on the non-difficult class alone
+    assert int(labels[1] - 1) not in m["per_class"]
+    assert set(m["per_class"]) == {int(labels[0] - 1)}

@@ -99,6 +99,11 @@ def test_lr_schedule():
     np.testing.assert_allclose(float(sched(50)), 1.0, atol=1e-6)
     np.testing.assert_allclose(float(sched(150)), 0.1, atol=1e-6)
     np.testing.assert_allclose(float(sched(250)), 0.01, atol=1e-6)
+    # decay boundaries fire at the GLOBAL steps they name, not
+    # warmup_steps later (join_schedules offsets the inner schedule)
+    np.testing.assert_allclose(float(sched(99)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 0.1, atol=1e-6)
+    np.testing.assert_allclose(float(sched(200)), 0.01, atol=1e-6)
 
 
 def test_checkpoint_roundtrip(tiny_setup, tmp_path):
