@@ -143,18 +143,28 @@ def _sample_window(rng: jax.Array, boxes: jnp.ndarray, valid: jnp.ndarray,
         xy0 = jax.random.uniform(kxy, (t, 2)) * (1.0 - wh)
         cand = jnp.concatenate([xy0, xy0 + wh], axis=1)  # (T, 4)
 
+        # Candidates live in WINDOW space (they compose onto the possibly-
+        # expanded window below — the reference crops the expanded canvas),
+        # so the constraints must score GT boxes mapped into that same
+        # space; testing original-image boxes against window-space
+        # candidates would validate a different region than the one taken.
+        w0xy = window[:2]
+        wsz2 = window[2:] - window[:2]
+        boxes_w = (boxes - jnp.concatenate([w0xy, w0xy])) / jnp.concatenate(
+            [wsz2, wsz2])
+
         # constraint: max IoU(crop, any valid gt) >= min_iou  AND at least one
         # gt center inside (so the crop keeps an object)
-        lt = jnp.maximum(cand[:, None, :2], boxes[None, :, :2])
-        rb = jnp.minimum(cand[:, None, 2:], boxes[None, :, 2:])
+        lt = jnp.maximum(cand[:, None, :2], boxes_w[None, :, :2])
+        rb = jnp.minimum(cand[:, None, 2:], boxes_w[None, :, 2:])
         whi = jnp.clip(rb - lt, 0.0, None)
         inter = whi[..., 0] * whi[..., 1]
         area_c = (cand[:, 2] - cand[:, 0]) * (cand[:, 3] - cand[:, 1])
-        area_b = jnp.clip(boxes[:, 2] - boxes[:, 0], 0, None) * jnp.clip(
-            boxes[:, 3] - boxes[:, 1], 0, None)
+        area_b = jnp.clip(boxes_w[:, 2] - boxes_w[:, 0], 0, None) * jnp.clip(
+            boxes_w[:, 3] - boxes_w[:, 1], 0, None)
         iou = inter / jnp.maximum(area_c[:, None] + area_b[None, :] - inter, 1e-8)
         iou = jnp.where(valid[None, :], iou, -1.0)
-        centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
+        centers = (boxes_w[:, :2] + boxes_w[:, 2:]) / 2.0
         inside = jnp.logical_and(
             (centers[None, :, :] > cand[:, None, :2]).all(-1),
             (centers[None, :, :] < cand[:, None, 2:]).all(-1),

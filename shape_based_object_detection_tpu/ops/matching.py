@@ -26,6 +26,18 @@ from shape_based_object_detection_tpu.config import MatchConfig
 from shape_based_object_detection_tpu.ops import boxes as box_ops
 
 
+def _claimed_gt_per_anchor(gt_best_a: jnp.ndarray, gt_valid: jnp.ndarray,
+                           num_anchors: int) -> jnp.ndarray:
+    """(A,) int32: the highest-index valid GT claiming each anchor via the
+    force-match step, or -1 where unclaimed. A deterministic max-scatter —
+    ``.at[].set`` with duplicate indices is unspecified, which would make
+    conflicting GT claims backend-dependent."""
+    g_ids = jnp.arange(gt_valid.shape[0], dtype=jnp.int32)
+    safe_a = jnp.where(gt_valid, gt_best_a, num_anchors)  # drop invalid
+    return jnp.full((num_anchors,), -1, jnp.int32).at[safe_a].max(
+        g_ids, mode="drop")
+
+
 class MatchResult(NamedTuple):
     matched_gt_idx: jnp.ndarray  # (A,) int32, gt index per anchor (0 if none)
     cls_targets: jnp.ndarray  # (A,) int32 in {-1, 0, 1..C}
@@ -55,12 +67,14 @@ def _assign_from_reductions(
     # below the positive threshold.
     if cfg.force_match_for_each_gt or cfg.allow_low_quality:
         # Each valid GT claims its single best anchor, overriding thresholds.
-        # Later GTs win scatter conflicts (matches the family's sequential
-        # per-GT loop semantics).
-        g_ids = jnp.arange(gt_labels.shape[0], dtype=jnp.int32)
-        safe_a = jnp.where(gt_valid, gt_best_a, num_anchors)  # drop invalid
-        best_g = best_g.at[safe_a].set(g_ids, mode="drop")
-        best_q = best_q.at[safe_a].set(2.0, mode="drop")  # above any threshold
+        # Later GTs win scatter conflicts (the family's sequential per-GT
+        # loop semantics). NOTE: .at[].set with duplicate indices applies an
+        # UNSPECIFIED update, so conflicts are resolved with a max-scatter
+        # (max g = later GT; commutative => deterministic on every backend).
+        claim = _claimed_gt_per_anchor(gt_best_a, gt_valid, num_anchors)
+        claimed = claim >= 0
+        best_g = jnp.where(claimed, claim, best_g)
+        best_q = jnp.where(claimed, 2.0, best_q)  # above any threshold
 
     matched_label = gt_labels[best_g].astype(jnp.int32)  # (A,)
     positive = best_q >= cfg.pos_threshold
@@ -149,24 +163,27 @@ def match_batch(
             # produced labels/offsets for the argmax assignment; vmapped
             # full-width gathers are the slow path this backend avoids).
             if cfg.force_match_for_each_gt or cfg.allow_low_quality:
-                g_ids = jnp.arange(gt_l.shape[0], dtype=jnp.int32)
                 safe_a = jnp.where(gt_v, ga, num_anchors)  # drop invalid
-                bg = bg.at[safe_a].set(g_ids, mode="drop")
-                bq = bq.at[safe_a].set(2.0, mode="drop")
-                # Derive label/offsets from the POST-scatter winner at each
-                # claimed anchor (not per-GT values): when two valid GTs claim
-                # the same anchor, independent scatters could pick different
-                # winners per array, producing an internally inconsistent
-                # target. Reading bg back makes every duplicate scatter below
-                # carry identical values, so conflict order cannot matter —
-                # and matches the jnp path, which gathers from post-scatter
-                # best_g.
-                winner = bg[jnp.clip(ga, 0, num_anchors - 1)]  # (G,)
+                # deterministic later-GT-wins conflict resolution (max-
+                # scatter; see _claimed_gt_per_anchor) — then every duplicate
+                # fix-up scatter below carries IDENTICAL values (the same
+                # post-claim winner), so scatter order cannot matter and the
+                # path stays bit-identical to the jnp matcher.
+                claim = _claimed_gt_per_anchor(ga, gt_v, num_anchors)
+                claimed_mask = claim >= 0
+                bg = jnp.where(claimed_mask, claim, bg)
+                bq = jnp.where(claimed_mask, 2.0, bq)
+                # O(G) fix-ups only (a dense (A,) gather from the small GT
+                # table is the slow lowering this backend avoids)
+                winner = claim[jnp.clip(ga, 0, num_anchors - 1)]  # (G,)
+                winner = jnp.maximum(winner, 0)
                 lbl_fix = gt_l.astype(jnp.int32)[winner]
                 lbl = lbl.at[safe_a].set(lbl_fix, mode="drop")
-                claimed = anchors_cxcywh[jnp.clip(ga, 0, num_anchors - 1)]
+                claimed_anchors = anchors_cxcywh[
+                    jnp.clip(ga, 0, num_anchors - 1)]
                 enc = box_ops.encode_boxes(
-                    box_ops.xyxy_to_cxcywh(gt_b)[winner], claimed, variances)
+                    box_ops.xyxy_to_cxcywh(gt_b)[winner], claimed_anchors,
+                    variances)
                 reg = reg.at[safe_a].set(enc, mode="drop")
             positive = bq >= cfg.pos_threshold
             ignore = jnp.logical_and(bq >= cfg.neg_threshold,

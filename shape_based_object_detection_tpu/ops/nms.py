@@ -32,8 +32,24 @@ from shape_based_object_detection_tpu.ops import boxes as box_ops
 _NEG_INF = -1e10
 
 
+def class_offset_boxes(boxes_xyxy: jnp.ndarray,
+                       classes: jnp.ndarray) -> jnp.ndarray:
+    """Offset trick shared by every NMS backend: boxes live in [0, 1], so
+    shifting each by ``class_id * 2.0`` makes cross-class IoU exactly 0 and
+    one single-class pass == independent per-class NMS. The 2.0 separation
+    encodes the clipped-[0,1]-boxes invariant (detection.postprocess clips
+    before NMS) — widen it if unclipped/pixel boxes are ever fed in.
+    ``classes`` broadcasts against boxes' leading dims."""
+    return boxes_xyxy + classes.astype(boxes_xyxy.dtype)[..., None] * 2.0
+
+
 def _iou_row(box: jnp.ndarray, all_boxes: jnp.ndarray) -> jnp.ndarray:
-    """IoU of one (4,) box against (N, 4) boxes -> (N,)."""
+    """IoU of one (4,) box against (N, 4) boxes -> (N,).
+
+    Deliberately NOT shared with boxes.iou_matrix: this row kernel is the
+    scan-NMS inner loop and must stay bit-identical to the Pallas kernel's
+    inline IoU (the backends are tested bit-equal), so its eps/clamping is
+    pinned here."""
     lt = jnp.maximum(box[:2], all_boxes[:, :2])
     rb = jnp.minimum(box[2:], all_boxes[:, 2:])
     wh = jnp.clip(rb - lt, 0.0, None)
@@ -127,9 +143,8 @@ def batched_class_aware_soft_nms(
     IoU is exactly 0, so cross-class decay is exp(0)=1: a no-op)."""
 
     def one(b, s, c, v):
-        offset = c.astype(b.dtype)[:, None] * 2.0
-        res = soft_nms(b + offset, s, v, sigma, score_threshold,
-                       max_detections)
+        res = soft_nms(class_offset_boxes(b, c), s, v, sigma,
+                       score_threshold, max_detections)
         return b[res.indices], res.scores, c[res.indices], res.valid
 
     bx, sc, cl, ok = jax.vmap(one)(boxes_xyxy, scores, classes, valid)
@@ -170,9 +185,7 @@ def _single_image_class_aware_nms(
     iou_threshold: float,
     max_detections: int,
 ):
-    # Offset trick: boxes live in [0, 1]; +2.0 per class id separates classes.
-    offset = classes.astype(boxes_xyxy.dtype)[:, None] * 2.0
-    shifted = boxes_xyxy + offset
+    shifted = class_offset_boxes(boxes_xyxy, classes)
     res = greedy_nms(shifted, scores, valid, iou_threshold, max_detections)
     return (
         boxes_xyxy[res.indices],

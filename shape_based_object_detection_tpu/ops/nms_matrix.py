@@ -54,7 +54,9 @@ def batched_class_aware_nms_matrix(
     max_detections: int,
 ) -> Detections:
     b, n, _ = boxes_xyxy.shape
-    shifted = boxes_xyxy + classes.astype(boxes_xyxy.dtype)[..., None] * 2.0
+    from shape_based_object_detection_tpu.ops.nms import class_offset_boxes
+
+    shifted = class_offset_boxes(boxes_xyxy, classes)
     s = _suppression_matrix(shifted, scores, valid, iou_threshold)  # (B,N,N)
 
     kept0 = jnp.zeros((b, n), jnp.float32)

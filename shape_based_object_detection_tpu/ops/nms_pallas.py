@@ -128,9 +128,11 @@ def batched_class_aware_nms_pallas(
 ):
     """Class-aware NMS via the coordinate-offset trick + the Pallas kernel.
     Returns an ops.nms.Detections."""
-    from shape_based_object_detection_tpu.ops.nms import Detections
+    from shape_based_object_detection_tpu.ops.nms import (
+        Detections, class_offset_boxes,
+    )
 
-    shifted = boxes_xyxy + classes.astype(boxes_xyxy.dtype)[..., None] * 2.0
+    shifted = class_offset_boxes(boxes_xyxy, classes)
     idx, sc, ok = greedy_nms_pallas(
         shifted, scores, valid, iou_threshold, max_detections, interpret
     )

@@ -113,8 +113,13 @@ class Predictor:
         return unpack_detections(det, sizes, self.min_score, self.letterbox)
 
     def predict(self, images: Sequence[np.ndarray]) -> List[Detection]:
-        self.submit(images)
-        return self.poll()
+        """Any request size: runs ceil(len/batch_size) compiled batches.
+        (submit/poll remain the <= batch_size single-dispatch surface.)"""
+        out: List[Detection] = []
+        for i in range(0, len(images), self.batch_size):
+            self.submit(images[i:i + self.batch_size])
+            out.extend(self.poll())
+        return out
 
 
 class ArtifactPredictor:
@@ -131,7 +136,12 @@ class ArtifactPredictor:
         self.letterbox = bool(self._model.header.get("letterbox", False))
 
     def predict(self, images: Sequence[np.ndarray]) -> List[Detection]:
-        batch, sizes = prepare_batch(images, self.size, self.batch_size,
-                                     self.letterbox)
-        det = self._model(batch)
-        return unpack_detections(det, sizes, self.min_score, self.letterbox)
+        out: List[Detection] = []
+        for i in range(0, len(images), self.batch_size):
+            chunk = images[i:i + self.batch_size]
+            batch, sizes = prepare_batch(chunk, self.size, self.batch_size,
+                                         self.letterbox)
+            det = self._model(batch)
+            out.extend(unpack_detections(det, sizes, self.min_score,
+                                         self.letterbox))
+        return out

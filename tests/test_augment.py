@@ -143,3 +143,24 @@ def test_augment_bfloat16_dtype_matches_f32(rng):
     # normalized-image values live in roughly [-2.5, 2.5]
     np.testing.assert_allclose(np.asarray(i16, np.float32),
                                np.asarray(i32), atol=0.12)
+
+
+def test_crop_constraints_hold_in_window_space(rng):
+    """When expand and crop BOTH fire, the IoU/center-inside crop
+    constraints must be evaluated in the same (expanded-window) space the
+    crop is applied in — so an image with valid GT always keeps at least
+    one valid GT after augmentation (the chosen crop provably contains a
+    GT center)."""
+    imgs = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    boxes = np.asarray([[[0.3, 0.3, 0.6, 0.6], [0.5, 0.2, 0.9, 0.55]]],
+                       np.float32)
+    labels = np.ones((1, 2), np.int32)
+    valid = np.ones((1, 2), bool)
+    cfg = DataConfig()  # photometric+expand+crop+flip all on
+    fn = jax.jit(functools.partial(A.augment_batch, cfg=cfg, out_size=64))
+    survivors = []
+    for seed in range(60):
+        _, b, _, v = fn(jax.random.PRNGKey(seed), imgs, boxes, labels, valid)
+        survivors.append(int(np.asarray(v).sum()))
+        assert np.asarray(v).sum() >= 1, f"all GTs lost at seed {seed}"
+    assert min(survivors) >= 1 and max(survivors) <= 2

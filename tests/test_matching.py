@@ -114,3 +114,34 @@ def test_reg_targets_decode_back_to_gt(rng):
     )
     matched_gt = gt[np.asarray(res.matched_gt_idx)]
     np.testing.assert_allclose(np.asarray(dec)[pos], matched_gt[pos], atol=1e-4)
+
+
+def test_force_match_conflict_later_gt_wins_deterministically():
+    """Two valid GTs whose best anchor is the SAME anchor: the later (higher
+    index) GT wins, deterministically, on both backends — .at[].set with
+    duplicate indices is unspecified, so this pins the sequential-loop
+    semantics the reference family uses."""
+    import dataclasses
+
+    # one anchor both GTs prefer, plus a far-away anchor
+    anchors = jnp.asarray([[0.5, 0.5, 0.2, 0.2],
+                           [0.05, 0.05, 0.05, 0.05]], jnp.float32)
+    # both GTs overlap anchor 0 best (tiny boxes near its center), with low
+    # IoU so only the force-match step assigns them
+    gt = jnp.asarray([[[0.45, 0.45, 0.50, 0.50],
+                       [0.50, 0.50, 0.55, 0.55]]], jnp.float32)
+    labels = jnp.asarray([[3, 7]], jnp.int32)
+    valid = jnp.ones((1, 2), bool)
+
+    for backend in ("jnp", "pallas"):
+        cfg = dataclasses.replace(MatchConfig(), backend=backend,
+                                  force_match_for_each_gt=True)
+        out = M.match_batch(anchors, gt, labels, valid, cfg)
+        # anchor 0 claimed by both -> later GT (index 1, label 7) wins
+        assert int(out.matched_gt_idx[0, 0]) == 1, backend
+        assert int(out.cls_targets[0, 0]) == 7, backend
+        # and its offsets encode GT 1 against anchor 0
+        enc = np.asarray(B.encode_boxes(
+            B.xyxy_to_cxcywh(gt[0, 1:2]), anchors[0:1], (0.1, 0.2)))[0]
+        np.testing.assert_allclose(np.asarray(out.reg_targets[0, 0]), enc,
+                                   atol=1e-6)

@@ -28,3 +28,17 @@ def test_predictor_roundtrip(rng):
     pred.submit(imgs)
     out2 = pred.poll()
     assert len(out2) == 2
+
+
+def test_predictor_chunks_large_requests(rng):
+    """predict() accepts requests larger than the compiled batch (chunks
+    into multiple dispatches); results match per-image single requests."""
+    cfg = config_lib.get_config("tiny_retinanet")
+    pred = Predictor(cfg, batch_size=2, min_score=0.0)
+    imgs = [rng.integers(0, 255, (60 + 7 * i, 80, 3)).astype(np.uint8)
+            for i in range(5)]
+    out = pred.predict(imgs)  # 5 images through batch-2 -> 3 dispatches
+    assert len(out) == 5
+    solo = pred.predict([imgs[3]])[0]
+    np.testing.assert_allclose(out[3].boxes, solo.boxes, atol=1e-5)
+    np.testing.assert_allclose(out[3].scores, solo.scores, atol=1e-5)
