@@ -351,6 +351,17 @@ def _preset_5() -> ExperimentConfig:
     )
 
 
+def _preset_ssd512_infer() -> ExperimentConfig:
+    """COCO 80-class SSD-512 inference (the 'ssd512' model alias — mirrors
+    the ssd300 alias; the VOC 20-class trainer stays at
+    config3_ssd512_voc_train)."""
+    return ExperimentConfig(
+        model=SSD512,
+        data=DataConfig(dataset="coco", batch_size=1),
+        loss=LossConfig(kind="multibox"),
+    )
+
+
 def _preset_tiny(family: str) -> ExperimentConfig:
     """Channel-scaled miniature configs (CPU-testable; same code paths)."""
     return ExperimentConfig(
@@ -372,9 +383,11 @@ PRESETS = {
     "config3_ssd512_voc_train": _preset_3,
     "config4_retinanet_r101_coco_train": _preset_4,
     "config5_multihost_dp_train": _preset_5,
-    # model-name aliases
+    # model-name aliases (all COCO 80-class; training presets keep their
+    # config{N} names — 'ssd512' previously aliased the 20-class VOC trainer,
+    # a silent class-count switch vs the SSD512 ModelConfig constant)
     "ssd300": _preset_1,
-    "ssd512": _preset_3,
+    "ssd512": _preset_ssd512_infer,
     "retinanet_r50_fpn": _preset_2,
     "retinanet_r101_fpn": _preset_4,
 }
@@ -404,7 +417,13 @@ def _coerce(value, typ):
     origin = typing.get_origin(typ)
     if dataclasses.is_dataclass(typ) and isinstance(value, dict):
         return _dataclass_from_dict(typ, value)
-    if origin is tuple and isinstance(value, (list, tuple)):
+    if origin is tuple:
+        if not isinstance(value, (list, tuple)):
+            # Fail at the override/JSON site, not deep inside a trace:
+            # 'train.lr_decay_steps=80000' must be '[80000]'.
+            raise TypeError(
+                f"expected a JSON list for tuple-typed field of type {typ}, "
+                f"got {value!r} — write e.g. […] in the override/file")
         args = typing.get_args(typ)
         if len(args) == 2 and args[1] is Ellipsis:
             return tuple(_coerce(v, args[0]) for v in value)

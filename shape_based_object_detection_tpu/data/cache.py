@@ -33,12 +33,21 @@ _LOCK = ".build_lock"
 _LOCK_STALE_S = 600.0
 
 
+# dataset attributes that change the cached BYTES without changing the
+# dataset's length/type/size: annotation-protocol flags, source location,
+# synthetic-generator parameters. Probed with getattr so each dataset type
+# contributes only the knobs it has.
+_IDENTITY_ATTRS = ("root", "split", "ann_file", "include_difficult",
+                   "include_crowd", "seed", "num_classes", "num_images")
+
+
 def _source_fingerprint(dataset, max_boxes: int) -> dict:
     """Everything that determines the cached bytes. A cache is reusable ONLY
     if all of it matches — num_samples alone is not enough (the same dataset
     re-opened with a different image_size or letterbox setting has the same
-    length but different pixels/coordinates)."""
-    return {
+    length but different pixels/coordinates), and neither is shape alone
+    (e.g. CocoDetection(include_crowd=...) toggles which boxes exist)."""
+    fp = {
         "num_samples": len(dataset),
         "max_boxes": max_boxes,
         "dataset_type": type(dataset).__name__,
@@ -46,6 +55,12 @@ def _source_fingerprint(dataset, max_boxes: int) -> dict:
                               getattr(dataset, "size", None)),
         "letterbox": getattr(dataset, "letterbox", None),
     }
+    for attr in _IDENTITY_ATTRS:
+        if hasattr(dataset, attr):
+            v = getattr(dataset, attr)
+            fp[attr] = v if isinstance(v, (str, int, float, bool,
+                                           type(None))) else repr(v)
+    return fp
 
 
 def _cache_valid(meta_path: str, fingerprint: dict) -> bool:
@@ -84,10 +99,13 @@ def build_cache(dataset, out_dir: str, max_boxes: int,
             break  # we are the builder
         except FileExistsError:
             # another process is building; a lock untouched for a long time
-            # means its builder died — steal it
+            # means its builder died — steal it. The steal is an atomic
+            # RENAME (not unlink): if two waiters race, only one rename
+            # succeeds, so two processes can never both proceed to build.
             try:
                 if time.time() - os.path.getmtime(lock_path) > _LOCK_STALE_S:
-                    os.unlink(lock_path)
+                    os.rename(lock_path, f"{lock_path}.stale.{os.getpid()}")
+                    os.unlink(f"{lock_path}.stale.{os.getpid()}")
                     continue
             except OSError:
                 continue
@@ -106,12 +124,37 @@ def build_cache(dataset, out_dir: str, max_boxes: int,
 def _build_cache_locked(dataset, out_dir: str, max_boxes: int, workers: int,
                         meta_path: str, lock_path: str,
                         fingerprint: dict) -> str:
-    n = len(dataset)
+    import threading
+
     # a stale meta from a different fingerprint must not look "complete" if
     # this build crashes halfway
     if os.path.exists(meta_path):
         os.unlink(meta_path)
 
+    # Heartbeat: keep the lock's mtime fresh on a fixed clock, independent of
+    # per-sample speed (a single slow sample must not let waiters declare the
+    # lock stale mid-build and start a second builder).
+    stop = threading.Event()
+
+    def _heartbeat():
+        while not stop.wait(30.0):
+            try:
+                os.utime(lock_path)
+            except OSError:
+                return  # lock stolen/removed: stop quietly, don't recreate
+    hb = threading.Thread(target=_heartbeat, daemon=True)
+    hb.start()
+    try:
+        return _write_cache(dataset, out_dir, max_boxes, workers,
+                            meta_path, fingerprint)
+    finally:
+        stop.set()
+        hb.join(timeout=5.0)
+
+
+def _write_cache(dataset, out_dir: str, max_boxes: int, workers: int,
+                 meta_path: str, fingerprint: dict) -> str:
+    n = len(dataset)
     first = dataset[0]
     s = first[0].shape[0]
     images = np.lib.format.open_memmap(
@@ -140,8 +183,6 @@ def _build_cache_locked(dataset, out_dir: str, max_boxes: int, workers: int,
         labels[i] = l
         valid[i] = v
         crowd[i] = f
-        if i % 256 == 0:
-            os.utime(lock_path)  # keep the lock fresh for waiting processes
 
     if workers > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -181,8 +222,11 @@ class MemmapDetection:
 
     def __getitem__(self, i: int):
         v = self.valid[i]
+        # 4-tuple WITH the cached crowd/ignore flags: dropping them here
+        # would turn crowd GTs into ordinary ground truth for any generic
+        # Loader/grain consumer (silently deflated eval mAP)
         return (np.asarray(self.images[i]), np.asarray(self.boxes[i][v]),
-                np.asarray(self.labels[i][v]))
+                np.asarray(self.labels[i][v]), np.asarray(self.crowd[i][v]))
 
 
 class CacheLoader(Loader):
@@ -201,6 +245,12 @@ class CacheLoader(Loader):
         ds: MemmapDetection = self.dataset
         idx = self._epoch_indices(epoch)
         bs, g = self.batch_size, self.max_boxes
+        if len(idx) < bs:
+            # same fail-fast as the base Loader: zero batches would turn the
+            # caller's epoch loop into a silent infinite spin
+            raise ValueError(
+                f"per-host shard has {len(idx)} samples < batch_size {bs}: "
+                "shrink the batch or grow the dataset")
         for start in range(0, len(idx) - bs + 1, bs):
             chunk = np.sort(idx[start:start + bs])  # sorted = sequential IO
             yield DetectionBatch(

@@ -34,11 +34,10 @@ class PaddedDetectionSource:
     def __getitem__(self, i):
         sample = self.dataset[int(i)]
         img, boxes, labels = sample[:3]
-        b, l, v = pad_annotations(boxes, labels, self.max_boxes)
-        cr = np.zeros((self.max_boxes,), bool)
-        if len(sample) > 3:
-            g = min(len(sample[3]), self.max_boxes)
-            cr[:g] = np.asarray(sample[3], bool)[:g]
+        flags = (np.asarray(sample[3], bool) if len(sample) > 3
+                 else np.zeros(len(boxes), bool))
+        b, l, v, cr = pad_annotations(boxes, labels, self.max_boxes,
+                                      flags=flags)
         return {"images": img, "boxes": b, "labels": l, "valid": v,
                 "crowd": cr}
 
@@ -126,7 +125,15 @@ class GrainLoader:
         del epoch  # grain's sampler owns the shuffle schedule
         stream = self._ensure_stream()
         n = (len(self.dataset) // self.num_hosts) // self.batch_size
-        for _ in range(max(1, n)):
+        if n == 0:
+            # same fail-fast as pipeline.Loader.batches: a max(1, n) pull
+            # here would silently fill one batch by wrapping into grain's
+            # next sampler epoch (duplicated samples, desynced epochs)
+            raise ValueError(
+                f"per-host shard has {len(self.dataset) // self.num_hosts} "
+                f"samples < batch_size {self.batch_size}: shrink the batch "
+                "or grow the dataset")
+        for _ in range(n):
             yield next(stream)
 
     # reuse the double-buffered device prefetch from the plain Loader

@@ -22,8 +22,9 @@ from shape_based_object_detection_tpu.ops import nms as nms_lib
 from shape_based_object_detection_tpu.utils import image as image_lib
 
 
-def _use_pallas_default() -> bool:
-    return jax.default_backend() == "tpu"
+from shape_based_object_detection_tpu.utils.platform import (
+    use_pallas_default as _use_pallas_default,
+)
 
 
 def postprocess(

@@ -25,8 +25,15 @@ Metrics = Dict[str, jnp.ndarray]
 
 
 def smooth_l1(x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
-    """Elementwise Huber/SmoothL1 with transition at ``beta``."""
+    """Elementwise Huber/SmoothL1 with transition at ``beta``.
+
+    ``beta == 0`` is pure L1 (the torch reference special-cases it too):
+    with the where-form, the untaken 0.5*ax*ax/0 branch has an infinite
+    derivative and jnp.where's VJP would turn 0 * inf into NaN gradients.
+    """
     ax = jnp.abs(x)
+    if beta <= 0:
+        return ax
     return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
 
 
@@ -79,20 +86,13 @@ def sigmoid_focal_ce(
     logits: jnp.ndarray, targets_onehot: jnp.ndarray, alpha: float, gamma: float
 ) -> jnp.ndarray:
     """Per-element focal BCE, numerically stable (log-sigmoid form)."""
+    import optax
+
     p = jax.nn.sigmoid(logits)
-    ce = optax_sigmoid_bce(logits, targets_onehot)
+    ce = optax.sigmoid_binary_cross_entropy(logits, targets_onehot)
     p_t = p * targets_onehot + (1.0 - p) * (1.0 - targets_onehot)
     alpha_t = alpha * targets_onehot + (1.0 - alpha) * (1.0 - targets_onehot)
     return alpha_t * jnp.power(1.0 - p_t, gamma) * ce
-
-
-def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    # max(x,0) - x*z + log(1 + exp(-|x|)) — the standard stable BCE-with-logits.
-    return (
-        jnp.clip(logits, 0.0, None)
-        - logits * labels
-        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    )
 
 
 def focal_loss(

@@ -70,8 +70,10 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        from shape_based_object_detection_tpu.models.vgg import _round_ch
+
         blocks = STAGE_BLOCKS[self.variant]
-        w = lambda c: max(8, int(c * self.width_mult))
+        w = lambda c: _round_ch(c, self.width_mult)
 
         x = nn.Conv(w(64), (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)

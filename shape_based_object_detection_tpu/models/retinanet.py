@@ -74,7 +74,9 @@ class RetinaNet(nn.Module):
         pyramid = FPN(out_channels=cfg.fpn_channels, dtype=dtype,
                       name="fpn")(c3, c4, c5)
 
-        a = len(cfg.anchors.octave_scales) * len(cfg.anchors.aspect_ratios[0])
+        from shape_based_object_detection_tpu.ops.anchors import num_anchors_per_cell
+
+        a = num_anchors_per_cell(cfg.anchors, 0, "retinanet")
         cls_head = RetinaNetHead(
             num_outputs=cfg.num_classes, num_anchors=a, depth=cfg.head_depth,
             channels=cfg.fpn_channels,

@@ -17,6 +17,7 @@ from flax import linen as nn
 
 from shape_based_object_detection_tpu.config import ModelConfig
 from shape_based_object_detection_tpu.models.vgg import VGG16Trunk, L2Norm, _round_ch
+from shape_based_object_detection_tpu.ops.anchors import ssd_extra_plan as _ssd_extra_plan
 
 
 class SSDExtras(nn.Module):
@@ -47,28 +48,6 @@ class SSDExtras(nn.Module):
         return feats
 
 
-def _ssd_extra_plan(image_size: int):
-    """(name, c1, c2, stride, pad, kernel) per extra block.
-
-    300: 19->10->5->3->1 (last two are 3x3 valid convs).
-    512: 32->16->8->4->2->1 (last is a 4x4 pad-1 conv).
-    """
-    if image_size == 512:
-        return [
-            ("conv8", 256, 512, 2, 1, 3),
-            ("conv9", 128, 256, 2, 1, 3),
-            ("conv10", 128, 256, 2, 1, 3),
-            ("conv11", 128, 256, 2, 1, 3),
-            ("conv12", 128, 256, 1, 1, 4),
-        ]
-    return [
-        ("conv8", 256, 512, 2, 1, 3),
-        ("conv9", 128, 256, 2, 1, 3),
-        ("conv10", 128, 256, 1, 0, 3),
-        ("conv11", 128, 256, 1, 0, 3),
-    ]
-
-
 class SSD(nn.Module):
     """Full SSD model: trunk + extras + multibox heads."""
 
@@ -97,7 +76,10 @@ class SSD(nn.Module):
                            dtype=dtype, name="extras")(conv7)
         feats = [conv4_3, conv7] + extras
 
-        num_priors = [len(r) + 1 for r in cfg.anchors.aspect_ratios]
+        from shape_based_object_detection_tpu.ops.anchors import num_anchors_per_cell
+
+        num_priors = [num_anchors_per_cell(cfg.anchors, i, "ssd")
+                      for i in range(len(cfg.anchors.aspect_ratios))]
         assert len(feats) == len(num_priors), (
             f"{len(feats)} feature maps vs {len(num_priors)} anchor specs")
 

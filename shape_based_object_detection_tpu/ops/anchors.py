@@ -26,6 +26,31 @@ import jax.numpy as jnp
 from shape_based_object_detection_tpu.config import AnchorConfig, ModelConfig
 
 
+def ssd_extra_plan(image_size: int):
+    """(name, c1, c2, stride, pad, kernel) per SSD extra block — pure
+    architecture data shared by the model (models/ssd.py builds the convs)
+    and the anchor generator (feature-size arithmetic below), kept here so
+    ops never imports models.
+
+    300: 19->10->5->3->1 (last two are 3x3 valid convs).
+    512: 32->16->8->4->2->1 (last is a 4x4 pad-1 conv).
+    """
+    if image_size == 512:
+        return [
+            ("conv8", 256, 512, 2, 1, 3),
+            ("conv9", 128, 256, 2, 1, 3),
+            ("conv10", 128, 256, 2, 1, 3),
+            ("conv11", 128, 256, 2, 1, 3),
+            ("conv12", 128, 256, 1, 1, 4),
+        ]
+    return [
+        ("conv8", 256, 512, 2, 1, 3),
+        ("conv9", 128, 256, 2, 1, 3),
+        ("conv10", 128, 256, 1, 0, 3),
+        ("conv11", 128, 256, 1, 0, 3),
+    ]
+
+
 def ssd_feature_sizes(image_size: int) -> Tuple[int, ...]:
     """Spatial sizes of the SSD detection feature maps for a VGG-16 trunk.
 
@@ -37,13 +62,21 @@ def ssd_feature_sizes(image_size: int) -> Tuple[int, ...]:
         return (38, 19, 10, 5, 3, 1)
     if image_size == 512:
         return (64, 32, 16, 8, 4, 2, 1)
-    # Generic fallback for experimental sizes: /8 (ceil), /16 (ceil), then halving.
-    f0 = math.ceil(image_size / 8)
-    f1 = math.ceil(image_size / 16)
+    # Generic fallback for experimental sizes: replay the exact layer
+    # arithmetic of the trunk (pool1/2 floor, pool3 ceil-mode, pool4 floor,
+    # pool5 3x3/1 size-preserving) and of the extras plan the model actually
+    # instantiates, so anchors always agree with the head outputs. (A /16
+    # heuristic here disagreed with the floor-mode pool4 for sizes like 600.)
+    f0 = math.ceil(image_size // 2 // 2 / 2)  # conv4_3 (pool3 is ceil-mode)
+    f1 = f0 // 2  # conv7 (pool4 floor; pool5 is 3x3 stride 1)
     sizes = [f0, f1]
     cur = f1
-    while cur > 1:
-        cur = max(1, math.ceil(cur / 2) if cur > 3 else cur - 2)
+    for _name, _c1, _c2, stride, pad, kernel in ssd_extra_plan(image_size):
+        cur = (cur + 2 * pad - kernel) // stride + 1
+        if cur < 1:
+            raise ValueError(
+                f"image_size {image_size} is too small for the SSD extras "
+                f"tail (a feature map would reach size {cur})")
         sizes.append(cur)
     return tuple(sizes)
 

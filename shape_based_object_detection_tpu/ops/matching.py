@@ -126,8 +126,9 @@ def match_anchors(
         best_q, best_g, a_star, cfg, variances)
 
 
-def _use_pallas_default() -> bool:
-    return jax.default_backend() == "tpu"
+from shape_based_object_detection_tpu.utils.platform import (
+    use_pallas_default as _use_pallas_default,
+)
 
 
 def match_batch(

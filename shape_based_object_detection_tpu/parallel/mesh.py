@@ -54,6 +54,13 @@ def make_mesh_for_batch(
     if devices is None:
         devices = jax.devices()
     mp = max(1, cfg.model_parallelism)
+    if len(devices) % mp != 0:
+        # flooring here would silently idle devices (and, multi-host, could
+        # exclude whole processes from the mesh — the collective-hang hazard
+        # the batch-shrink path below raises for)
+        raise ValueError(
+            f"model_parallelism={mp} does not divide the device count "
+            f"{len(devices)}")
     n_data = len(devices) // mp
     if global_batch % n_data != 0:
         if jax.process_count() > 1:
@@ -102,10 +109,3 @@ def initialize_multihost(coordinator: str | None = None,
         num_processes=num_processes,
         process_id=process_id,
     )
-
-
-def local_batch_slice(global_batch: int, num_hosts: int, host_id: int):
-    """Each host feeds its shard of the global batch (grain-style sharding)."""
-    per_host = global_batch // num_hosts
-    start = per_host * host_id
-    return start, start + per_host

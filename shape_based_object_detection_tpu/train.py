@@ -43,7 +43,15 @@ def make_lr_schedule(cfg) -> optax.Schedule:
     (step - warmup_steps) into the post-warmup schedule, so the piecewise
     boundaries must be shifted by -warmup_steps to fire where named."""
     warmup_steps = max(1, cfg.warmup_steps)
-    boundaries = {max(1, int(s) - warmup_steps): cfg.lr_decay_factor
+    bad = [int(s) for s in cfg.lr_decay_steps if int(s) <= warmup_steps]
+    if bad:
+        # max(1, s - warmup) would silently collapse these onto one boundary
+        # and run the whole training at the wrong LR — fail loud instead.
+        raise ValueError(
+            f"lr_decay_steps {bad} fall at or before warmup_steps="
+            f"{warmup_steps}; decay boundaries are GLOBAL step numbers and "
+            "must be greater than the warmup length")
+    boundaries = {int(s) - warmup_steps: cfg.lr_decay_factor
                   for s in cfg.lr_decay_steps}
     decay = optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
     warmup = optax.linear_schedule(0.0, cfg.base_lr, warmup_steps)
@@ -209,6 +217,12 @@ def make_eval_step(module, anchors: jnp.ndarray, cfg: ExperimentConfig,
 
     @jax.jit
     def eval_step(state: TrainState, images):
+        if use_ema and state.ema_params is None:
+            # None is static under jit, so this raises a clear error at the
+            # first call instead of an opaque flax tree error inside apply.
+            raise ValueError(
+                "use_ema=True but this TrainState has no EMA params — "
+                "train with TrainConfig.ema_decay > 0 (or --ema-decay)")
         params = state.ema_params if use_ema else state.params
         x = normalize_images(images, cfg.data.mean, cfg.data.std)
         cls_logits, box_offsets = module.apply(

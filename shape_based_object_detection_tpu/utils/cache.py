@@ -20,7 +20,7 @@ _DEFAULT_DIR = os.path.join(
     ".jax_cache",
 )
 
-_enabled = False
+_configured_path: str | None = None
 
 
 def _host_fingerprint() -> str:
@@ -52,13 +52,15 @@ def _host_fingerprint() -> str:
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     """Turn on the on-disk XLA executable cache. Returns the directory used."""
-    global _enabled
+    global _configured_path
     import jax
 
     base = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
     path = os.path.join(base, f"host-{_host_fingerprint()}")
-    if _enabled:
+    if path == _configured_path:
         return path
+    # A repeat call with a DIFFERENT directory re-points the config (cheap);
+    # returning a path jax isn't actually using would silently ignore it.
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # Cache everything: entry-size / compile-time floors default to skipping
@@ -66,5 +68,5 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     # those compiles on every process start otherwise.
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    _enabled = True
+    _configured_path = path
     return path

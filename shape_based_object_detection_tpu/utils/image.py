@@ -45,7 +45,9 @@ def letterbox_images(images: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.n
     """
     b, h, w, c = images.shape
     scale = size / max(h, w)
-    nh, nw = round(h * scale), round(w * scale)
+    # max(1, ...) mirrors letterbox_image_host: extreme aspect ratios must
+    # not round the short side down to a zero-sized resize target.
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
     resized = jax.image.resize(
         images.astype(jnp.float32), (b, nh, nw, c), method="bilinear"
     )
@@ -81,12 +83,15 @@ def boxes_px_to_input_norm(boxes_px: np.ndarray, h: int, w: int,
     Square-resize mode divides by (W, H); letterbox mode divides by
     max(H, W) (the content occupies the top-left fraction of the canvas).
     Out-of-bounds annotations (present in real VOC/COCO files) are clipped
-    to the canvas uniformly for every dataset.
+    to the IMAGE-CONTENT extent in both modes — in letterbox mode that is
+    (w, h)/max(h, w), not the full canvas, so a too-wide annotation never
+    extends a training target into the zero padding.
     """
     if letterbox:
-        out = boxes_px / np.float32(max(h, w))
-    else:
-        out = boxes_px / np.array([w, h, w, h], np.float32)
+        m = np.float32(max(h, w))
+        ext = np.array([w, h, w, h], np.float32) / m
+        return np.clip(boxes_px / m, 0.0, ext)
+    out = boxes_px / np.array([w, h, w, h], np.float32)
     return np.clip(out, 0.0, 1.0)
 
 

@@ -78,9 +78,10 @@ def benchmark_fn(fn, *args, warmup: int = 3, iters: int = 10) -> Dict[str, float
     """block_until_ready timing harness (SURVEY.md §5 tracing/profiling)."""
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    if warmup:
+        for _ in range(warmup):
+            out = fn(*args)
+        jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)

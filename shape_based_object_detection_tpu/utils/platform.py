@@ -21,3 +21,11 @@ def honor_jax_platforms_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", value)
+
+
+def use_pallas_default() -> bool:
+    """Backend policy shared by every 'auto'-backend op (NMS, matching):
+    compiled Pallas kernels on TPU, interpret/jnp fallbacks elsewhere."""
+    import jax
+
+    return jax.default_backend() == "tpu"

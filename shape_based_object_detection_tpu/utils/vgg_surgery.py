@@ -87,15 +87,21 @@ def load_pretrained_vgg_into_flax(state_dict, flax_variables):
          k.endswith(".weight")},
         key=lambda s: int(s.split(".")[1]),
     )
-    if len(fc_keys) >= 2:
-        surg = vgg_fc_to_ssd_convs(
-            sd[f"{fc_keys[0]}.weight"], sd[f"{fc_keys[0]}.bias"],
-            sd[f"{fc_keys[1]}.weight"], sd[f"{fc_keys[1]}.bias"],
-        )
-        for name in ("conv6", "conv7"):
-            k, b = surg[name]
-            assert vgg[name]["kernel"].shape == k.shape, (name, k.shape)
-            vgg[name] = {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
+    if len(fc_keys) < 2:
+        # A features-only checkpoint would silently leave conv6/conv7 at
+        # fresh init (half-pretrained trunk, degraded accuracy) — fail loud.
+        raise ValueError(
+            "state_dict has no classifier.{0,3}.* fc6/fc7 keys — cannot run "
+            "the fc->conv decimation surgery; conv6/conv7 would stay "
+            f"randomly initialized (found classifier keys: {fc_keys})")
+    surg = vgg_fc_to_ssd_convs(
+        sd[f"{fc_keys[0]}.weight"], sd[f"{fc_keys[0]}.bias"],
+        sd[f"{fc_keys[1]}.weight"], sd[f"{fc_keys[1]}.bias"],
+    )
+    for name in ("conv6", "conv7"):
+        k, b = surg[name]
+        assert vgg[name]["kernel"].shape == k.shape, (name, k.shape)
+        vgg[name] = {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
 
     params["vgg"] = vgg
     out = dict(flax_variables)

@@ -70,3 +70,25 @@ def test_train_cli_dump_and_rerun(tmp_path, capsys):
           "--checkpoint-dir", str(tmp_path / "ckpt"), "--log-every", "100"])
     out = capsys.readouterr().out
     assert "done at step 2" in out
+
+
+def test_scalar_for_tuple_field_raises():
+    """A tuple-typed field given a bare scalar must fail at the override
+    site with a clear message, not deep inside a trace (review finding)."""
+    cfg = config_lib.get_config("tiny_ssd")
+    with pytest.raises(TypeError, match="JSON list"):
+        config_lib.apply_overrides(cfg, ["train.lr_decay_steps=80000"])
+    with pytest.raises(TypeError, match="JSON list"):
+        config_lib.apply_overrides(cfg, ["model.anchors.variances=0.1"])
+    # the documented list form still works
+    out = config_lib.apply_overrides(cfg, ["train.lr_decay_steps=[80000]"])
+    assert out.train.lr_decay_steps == (80000,)
+
+
+def test_ssd512_alias_is_coco_80_classes():
+    """Model-name aliases are all COCO 80-class (the 'ssd512' alias used to
+    silently return the 20-class VOC trainer while 'ssd300' returned COCO)."""
+    for name in ("ssd300", "ssd512", "retinanet_r50_fpn", "retinanet_r101_fpn"):
+        assert config_lib.get_config(name).model.num_classes == 80, name
+    # the VOC training preset is untouched
+    assert config_lib.get_config("config3_ssd512_voc_train").model.num_classes == 20

@@ -181,10 +181,11 @@ def test_memmap_cache_roundtrip(tmp_path):
 
     mm = MemmapDetection(cache_dir)
     assert len(mm) == 12
-    img0, bx0, lb0 = mm[0]
+    img0, bx0, lb0, cr0 = mm[0]  # 4-tuple: crowd flags survive the cache
     ref = ds[0]
     np.testing.assert_array_equal(img0, ref[0])
     np.testing.assert_allclose(bx0, ref[1])
+    assert cr0.dtype == bool and not cr0.any()  # synthetic has no crowds
 
     plain = Loader(ds, batch_size=4, max_boxes=6, workers=0)
     cached = CacheLoader(mm, batch_size=4, max_boxes=6)
@@ -342,3 +343,41 @@ def test_voc_difficult_as_ignore(tmp_path):
     # overall mAP rests on the non-difficult class alone
     assert int(labels[1] - 1) not in m["per_class"]
     assert set(m["per_class"]) == {int(labels[0] - 1)}
+
+
+def test_cache_fingerprint_covers_dataset_identity(tmp_path):
+    """Same length/size/type but a different generator seed (stand-in for
+    include_crowd/include_difficult toggles) must invalidate the cache
+    (review finding: the fingerprint used to cover only shape-level attrs)."""
+    import os
+
+    from shape_based_object_detection_tpu.data.cache import build_cache
+
+    cache_dir = str(tmp_path / "cache")
+    build_cache(SyntheticDetection(size=32, num_images=8, seed=0),
+                cache_dir, max_boxes=6, workers=1)
+    mtime = os.path.getmtime(os.path.join(cache_dir, "images.npy"))
+    build_cache(SyntheticDetection(size=32, num_images=8, seed=1),
+                cache_dir, max_boxes=6, workers=1)
+    assert os.path.getmtime(os.path.join(cache_dir, "images.npy")) != mtime
+
+
+def test_cache_loader_raises_when_shard_smaller_than_batch(tmp_path):
+    from shape_based_object_detection_tpu.data.cache import (
+        CacheLoader, MemmapDetection, build_cache)
+
+    cache_dir = str(tmp_path / "cache")
+    build_cache(SyntheticDetection(size=32, num_images=4), cache_dir,
+                max_boxes=6, workers=1)
+    loader = CacheLoader(MemmapDetection(cache_dir), batch_size=8, max_boxes=6)
+    with pytest.raises(ValueError, match="batch_size"):
+        next(loader.batches(0))
+
+
+def test_grain_loader_raises_when_shard_smaller_than_batch():
+    from shape_based_object_detection_tpu.data.grain_pipeline import GrainLoader
+
+    ds = SyntheticDetection(size=32, num_images=4)
+    gl = GrainLoader(ds, batch_size=8, max_boxes=6, workers=0)
+    with pytest.raises(ValueError, match="batch_size"):
+        next(gl.batches(0))

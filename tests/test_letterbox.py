@@ -172,3 +172,26 @@ def test_detect_single_image_letterbox(rng):
         if boxes.size:
             assert (boxes[:, [0, 2]] <= 40 + 1e-3).all()
             assert (boxes[:, [1, 3]] <= 80 + 1e-3).all()
+
+
+def test_out_of_bounds_boxes_clip_to_content_not_canvas():
+    """Out-of-bounds annotations must clip to the image-content extent in
+    letterbox mode — not the full canvas — so train targets never cover the
+    zero padding (review finding). Portrait image: content width w/max(h,w)."""
+    h, w = 200, 100  # portrait: content occupies left half of the canvas
+    boxes_px = np.array([[10.0, 20.0, 140.0, 160.0]], np.float32)  # xmax > w
+    out = boxes_px_to_input_norm(boxes_px, h, w, letterbox=True)
+    assert out[0, 2] == np.float32(w / h)  # clipped to content, not 140/200
+    assert out[0, 3] == np.float32(160 / 200)
+    # square mode clips the same annotation to the image edge
+    sq = boxes_px_to_input_norm(boxes_px, h, w, letterbox=False)
+    assert sq[0, 2] == 1.0
+
+
+def test_device_letterbox_extreme_aspect_ratio():
+    """A 1px-wide strip must not round to a zero-sized resize target on the
+    device path (host path already guards with max(1, .))."""
+    strip = jnp.ones((1, 700, 1, 3), jnp.float32)
+    canvas, scale = letterbox_images(strip, 300)
+    assert canvas.shape == (1, 300, 300, 3)
+    assert np.asarray(canvas).max() > 0  # the 1px column survived

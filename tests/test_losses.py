@@ -112,3 +112,20 @@ def test_focal_loss_ignores_ignore_band(rng):
     l_base, _ = L.focal_loss(jnp.asarray(base), jnp.zeros((b, a, 4)), match,
                              LossConfig(kind="focal"))
     np.testing.assert_allclose(float(l_ign), float(l_base), rtol=1e-6)
+
+
+def test_smooth_l1_beta_zero_is_l1_with_finite_grads():
+    """beta=0 (pure L1) used to produce NaN gradients through the untaken
+    where-branch's 0.5*x*x/0 (review finding)."""
+    import jax
+
+    from shape_based_object_detection_tpu.losses import smooth_l1
+
+    x = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
+    np.testing.assert_allclose(np.asarray(smooth_l1(x, beta=0.0)),
+                               np.abs(np.asarray(x)))
+    g = np.asarray(jax.grad(lambda v: smooth_l1(v, beta=0.0).sum())(x))
+    assert np.isfinite(g).all()
+    # sign(x) away from 0; at 0 JAX's abs picks a valid subgradient in [-1,1]
+    np.testing.assert_allclose(g[[0, 1, 3, 4]], [-1, -1, 1, 1])
+    assert -1.0 <= g[2] <= 1.0

@@ -131,3 +131,26 @@ def test_package_import_initializes_no_backend():
                        text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert "clean-import" in r.stdout
+
+
+def test_benchmark_fn_warmup_zero():
+    """warmup=0 (cold-compile measurement) must not NameError (review
+    finding)."""
+    from shape_based_object_detection_tpu.utils.metrics import benchmark_fn
+
+    out = benchmark_fn(jax.jit(lambda x: x + 1), jnp.ones((4,)),
+                       warmup=0, iters=2)
+    assert out["seconds_per_call"] > 0
+
+
+def test_compilation_cache_repoints_on_new_dir(tmp_path):
+    """A second enable_compilation_cache(dir2) call must actually re-point
+    the jax config at dir2, not return an unconfigured path (review
+    finding)."""
+    from shape_based_object_detection_tpu.utils import cache as cache_lib
+
+    p1 = cache_lib.enable_compilation_cache(str(tmp_path / "a"))
+    assert jax.config.jax_compilation_cache_dir == p1
+    p2 = cache_lib.enable_compilation_cache(str(tmp_path / "b"))
+    assert p2 != p1
+    assert jax.config.jax_compilation_cache_dir == p2

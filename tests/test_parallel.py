@@ -224,3 +224,14 @@ def test_quantized_detect_sharded_equals_single_device():
                                        np.asarray(ref.scores), atol=2e-2)
             agree = (np.asarray(out.valid) == np.asarray(ref.valid)).mean()
             assert agree > 0.95
+
+
+def test_mesh_for_batch_rejects_indivisible_model_parallelism():
+    """Flooring devices//mp would silently idle devices (review finding)."""
+    import pytest
+
+    from shape_based_object_detection_tpu.config import MeshConfig
+    from shape_based_object_detection_tpu.parallel.mesh import make_mesh_for_batch
+
+    with pytest.raises(ValueError, match="model_parallelism"):
+        make_mesh_for_batch(8, cfg=MeshConfig(model_parallelism=3))

@@ -425,3 +425,32 @@ def test_best_keeper_rejects_nan_and_is_ordered(tmp_path):
     assert meta == {"step": 2, "value": 0.4}
     assert not os.path.exists(str(tmp_path / "best" / "best.json.tmp"))
     keeper.close()
+
+
+def test_lr_decay_at_or_before_warmup_raises():
+    """Boundaries <= warmup used to collapse onto one key and silently run
+    the whole training at the wrong LR (review finding)."""
+    import pytest
+    from shape_based_object_detection_tpu.train import make_lr_schedule
+
+    cfg = dataclasses.replace(config_lib.TrainConfig(), warmup_steps=5000,
+                              lr_decay_steps=(2000, 3000))
+    with pytest.raises(ValueError, match="warmup"):
+        make_lr_schedule(cfg)
+
+
+def test_eval_step_use_ema_without_ema_raises():
+    """use_ema=True on a state trained with ema_decay=0 must raise a clear
+    error, not an opaque flax tree error (review finding)."""
+    import pytest
+    from shape_based_object_detection_tpu.models.factory import build_model
+    from shape_based_object_detection_tpu.train import (
+        create_train_state, make_eval_step)
+
+    cfg = config_lib.get_config("tiny_ssd")
+    module, variables, anchors = build_model(cfg.model)
+    state = create_train_state(module, variables, cfg)  # ema_decay=0
+    eval_step = make_eval_step(module, anchors, cfg, use_ema=True)
+    s = cfg.model.image_size
+    with pytest.raises(ValueError, match="EMA"):
+        eval_step(state, jnp.zeros((1, s, s, 3), jnp.uint8))

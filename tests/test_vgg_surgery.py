@@ -74,3 +74,14 @@ def test_load_pretrained_vgg_into_flax(rng):
         k, np.transpose(sd["features.0.weight"].numpy(), (2, 3, 1, 0)))
     assert np.asarray(merged["params"]["vgg"]["conv6"]["kernel"]).shape == (
         3, 3, 512, 1024)
+
+
+def test_features_only_checkpoint_raises():
+    """A state_dict with no classifier.* keys must fail loud instead of
+    silently leaving conv6/conv7 randomly initialized (review finding)."""
+    import pytest
+    from shape_based_object_detection_tpu.utils.vgg_surgery import (
+        load_pretrained_vgg_into_flax)
+
+    with pytest.raises(ValueError, match="classifier"):
+        load_pretrained_vgg_into_flax({}, {"params": {"vgg": {}}})
