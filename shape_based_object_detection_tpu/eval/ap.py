@@ -91,65 +91,76 @@ def _box_areas(boxes: np.ndarray) -> np.ndarray:
             * np.clip(boxes[:, 3] - boxes[:, 1], 0, None))
 
 
-def _match_class(
+def _match_class_strata(
     dets: List[Tuple[int, np.ndarray, float]],  # (image_id, box, score)
     gts: Dict[int, np.ndarray],  # image_id -> (G, 4)
     iou_thresholds: np.ndarray,
+    area_ranges: Sequence[Optional[Tuple[float, float]]],  # px^2 (None = all)
     crowd: Optional[Dict[int, np.ndarray]] = None,  # image_id -> (G,) bool
-    area_range: Optional[Tuple[float, float]] = None,  # in px^2
     max_det: Optional[int] = None,  # per image (per class)
     area_factors: Optional[Dict[int, float]] = None,  # image_id -> px^2/unit
     ignore: Optional[Dict[int, np.ndarray]] = None,  # ignore w/o crowd-IoU
-    return_ranks: bool = False,
-) -> Tuple[np.ndarray, ...]:
-    """COCOeval-protocol greedy matching for one class.
+) -> Tuple[List[Tuple[np.ndarray, np.ndarray, int]], np.ndarray, np.ndarray]:
+    """COCOeval-protocol greedy matching for one class over ALL area strata.
 
-    ``return_ranks=True`` appends a fifth element: each kept detection's
-    per-image score rank (0-based). Greedy matching in score order means a
-    smaller-max_det result is EXACTLY the columns with rank < md (lower
-    -ranked detections can never alter higher-ranked outcomes), so AR@1/
-    AR@10 come from the max_det=100 match by truncation — the optimization
-    pycocotools uses in accumulate().
+    One call evaluates every range in ``area_ranges``: detection sorting,
+    GT grouping, pairwise IoUs, and the native-matcher marshaling happen
+    once and are shared (pycocotools likewise computes IoUs once per
+    (image, class) and reuses them across areaRngs); only the greedy scans
+    — whose claiming depends on each range's ignore flags — repeat.
 
-    Returns (tp (T, N), ignore (T, N), scores (N,), n_gt) with detections
-    score-sorted descending. A GT is *ignored* if crowd or out of
-    ``area_range``; ignored GTs don't count in n_gt, and a detection matched
-    to one is excluded from both TP and FP (ignore[t, i]=1). An unmatched
-    detection outside ``area_range`` is likewise ignored. Greedy order and
-    tie-breaking mirror pycocotools: per detection (score order), scan GTs
-    non-ignored-first, claimed non-crowd GTs skipped, best-IoU wins with
-    ties going to the later GT, and the scan stops at the first ignored GT
-    once a non-ignored match is held.
+    Returns ``(per_range, scores, ranks)`` where per_range[k] is
+    ``(tp (T, N), ignore (T, N), n_gt)`` for area_ranges[k], detections
+    score-sorted descending, and ranks[i] is detection i's per-image score
+    rank (0-based; greedy matching in score order means a smaller-max_det
+    result is EXACTLY the columns with rank < md, the truncation
+    pycocotools uses in accumulate()).
+
+    Per range: a GT is *ignored* if crowd, plain-ignore, or out of the
+    range; ignored GTs don't count in n_gt, and a detection matched to one
+    is excluded from both TP and FP. An unmatched detection outside the
+    range is likewise ignored. Greedy order and tie-breaking mirror
+    pycocotools: per detection (score order), scan GTs non-ignored-first,
+    claimed non-crowd GTs skipped, best-IoU wins with ties going to the
+    later GT, and the scan stops at the first ignored GT once a non-ignored
+    match is held.
     """
-    # per-image GT state
     def _factor(img: int) -> float:
         return (area_factors.get(img, 1.0)
                 if area_factors is not None else 1.0)
 
+    k_count = len(area_ranges)
+    # per-image GT state; per-range ignore flags and scan orders
     gt_state = {}
-    n_gt = 0
+    n_gts = [0] * k_count
     for img, boxes in gts.items():
         boxes = np.asarray(boxes, np.float32)
         cr = (np.asarray(crowd[img], bool)
               if crowd is not None and img in crowd and crowd[img] is not None
               else np.zeros(len(boxes), bool))
-        gig = cr.copy()
+        base_gig = cr.copy()
         if (ignore is not None and img in ignore
                 and ignore[img] is not None):
-            gig |= np.asarray(ignore[img], bool)
-        if area_range is not None:
-            a = _box_areas(boxes) * _factor(img)
-            gig |= (a < area_range[0]) | (a > area_range[1])
-        n_gt += int((~gig).sum())
-        # scan order: non-ignored GTs first (stable within groups)
-        order = np.argsort(gig, kind="stable")
-        gt_state[img] = (boxes, cr, gig, order)
+            base_gig |= np.asarray(ignore[img], bool)
+        areas = _box_areas(boxes) * _factor(img)
+        gigs, orders = [], []
+        for k, rng in enumerate(area_ranges):
+            gig = base_gig.copy()
+            if rng is not None:
+                gig |= (areas < rng[0]) | (areas > rng[1])
+            n_gts[k] += int((~gig).sum())
+            gigs.append(gig)
+            # scan order: non-ignored GTs first (stable within groups)
+            orders.append(np.argsort(gig, kind="stable"))
+        gt_state[img] = (boxes, cr, gigs, orders)
 
+    t_count = len(iou_thresholds)
+    thr_arr = np.asarray(iou_thresholds, np.float32)
     if not dets:
-        t = len(iou_thresholds)
-        out = (np.zeros((t, 0), np.float32), np.zeros((t, 0), bool),
-               np.zeros(0), n_gt)
-        return out + (np.zeros(0, np.int32),) if return_ranks else out
+        empty = [(np.zeros((t_count, 0), np.float32),
+                  np.zeros((t_count, 0), bool), n_gts[k])
+                 for k in range(k_count)]
+        return empty, np.zeros(0), np.zeros(0, np.int32)
 
     dets = sorted(dets, key=lambda d: -d[2])
     if max_det is not None:
@@ -169,11 +180,21 @@ def _match_class(
         _rank_seen[d[0]] = r + 1
     scores = np.asarray([d[2] for d in dets])
     n = len(dets)
-    t_count = len(iou_thresholds)
-    thr_arr = np.asarray(iou_thresholds, np.float32)
+
+    det_boxes = np.stack([np.asarray(d[1], np.float32) for d in dets])
+    det_imgs = np.asarray([d[0] for d in dets], np.int32)
+    da = _box_areas(det_boxes)
+    if area_factors is not None:
+        da = da * np.asarray([_factor(int(i)) for i in det_imgs])
+    det_oob = np.zeros((k_count, n), np.uint8)
+    for k, rng in enumerate(area_ranges):
+        if rng is not None:
+            det_oob[k] = (da < rng[0]) | (da > rng[1])
 
     # native C++ fast path (csrc/ap_matcher.cpp); identical semantics
-    from shape_based_object_detection_tpu.utils.native import match_class_native
+    from shape_based_object_detection_tpu.utils.native import (
+        match_class_strata_native,
+    )
 
     if gt_state:
         gt_img_ids = np.concatenate(
@@ -182,65 +203,76 @@ def _match_class(
             np.float32).reshape(-1, 4)
         gt_crowd_flat = np.concatenate(
             [s[1] for s in gt_state.values()]).astype(np.uint8)
-        gt_ignore_flat = np.concatenate(
-            [s[2] for s in gt_state.values()]).astype(np.uint8)
-        det_boxes = np.stack([d[1] for d in dets]).astype(np.float32)
-        det_imgs = np.asarray([d[0] for d in dets], np.int32)
-        if area_range is not None:
-            da = _box_areas(det_boxes)
-            if area_factors is not None:
-                da = da * np.asarray([_factor(int(i)) for i in det_imgs])
-            det_oob = ((da < area_range[0]) | (da > area_range[1])).astype(
-                np.uint8)
-        else:
-            det_oob = np.zeros(n, np.uint8)
-        native = match_class_native(
+        gt_ignore_flat = np.stack([
+            np.concatenate([s[2][k] for s in gt_state.values()])
+            for k in range(k_count)
+        ]).astype(np.uint8)
+        native = match_class_strata_native(
             det_boxes, det_imgs, det_oob, gt_flat, gt_img_ids,
             gt_crowd_flat, gt_ignore_flat, thr_arr)
         if native is not None:
-            tp_n, ig_n = native
-            out = (tp_n.astype(np.float32), ig_n.astype(bool), scores, n_gt)
-            return out + (ranks,) if return_ranks else out
+            tp_n, ig_n = native  # (K, T, N)
+            return ([(tp_n[k].astype(np.float32), ig_n[k].astype(bool),
+                      n_gts[k]) for k in range(k_count)], scores, ranks)
 
-    tp = np.zeros((t_count, n), np.float32)
-    ig = np.zeros((t_count, n), bool)
+    tp = np.zeros((k_count, t_count, n), np.float32)
+    ig = np.zeros((k_count, t_count, n), bool)
     claimed = {
-        img: np.zeros((t_count, len(s[0])), bool) for img, s in gt_state.items()
+        img: np.zeros((k_count, t_count, len(s[0])), bool)
+        for img, s in gt_state.items()
     }
     for i, (img, box, _) in enumerate(dets):
         box = np.asarray(box, np.float32)
-        if area_range is not None:
-            a = float(_box_areas(box[None])[0]) * _factor(img)
-            det_oob_i = a < area_range[0] or a > area_range[1]
-        else:
-            det_oob_i = False
         state = gt_state.get(img)
         if state is None or len(state[0]) == 0:
-            ig[:, i] = det_oob_i
+            ig[:, :, i] = det_oob[:, i, None]
             continue
-        gt_boxes, cr, gig, order = state
-        ious = _iou_matrix_np(box[None], gt_boxes, cr)[0]
-        for t in range(t_count):
-            thr = thr_arr[t]
-            best = -1
-            best_iou = float(thr)
-            for g in order:
-                if claimed[img][t, g] and not cr[g]:
-                    continue
-                if best > -1 and not gig[best] and gig[g]:
-                    break  # holding a real match; only ignored GTs remain
-                if ious[g] < best_iou:
-                    continue
-                best_iou = float(ious[g])
-                best = int(g)
-            if best >= 0:
-                claimed[img][t, best] = True
-                if gig[best]:
-                    ig[t, i] = True
+        gt_boxes, cr, gigs, orders = state
+        ious = _iou_matrix_np(box[None], gt_boxes, cr)[0]  # once per det
+        for k in range(k_count):
+            gig, order = gigs[k], orders[k]
+            for t in range(t_count):
+                thr = thr_arr[t]
+                best = -1
+                best_iou = float(thr)
+                for g in order:
+                    if claimed[img][k, t, g] and not cr[g]:
+                        continue
+                    if best > -1 and not gig[best] and gig[g]:
+                        break  # holding a real match; only ignored GTs remain
+                    if ious[g] < best_iou:
+                        continue
+                    best_iou = float(ious[g])
+                    best = int(g)
+                if best >= 0:
+                    claimed[img][k, t, best] = True
+                    if gig[best]:
+                        ig[k, t, i] = True
+                    else:
+                        tp[k, t, i] = 1.0
                 else:
-                    tp[t, i] = 1.0
-            else:
-                ig[t, i] = det_oob_i
+                    ig[k, t, i] = bool(det_oob[k, i])
+    return ([(tp[k], ig[k], n_gts[k]) for k in range(k_count)],
+            scores, ranks)
+
+
+def _match_class(
+    dets: List[Tuple[int, np.ndarray, float]],  # (image_id, box, score)
+    gts: Dict[int, np.ndarray],  # image_id -> (G, 4)
+    iou_thresholds: np.ndarray,
+    crowd: Optional[Dict[int, np.ndarray]] = None,  # image_id -> (G,) bool
+    area_range: Optional[Tuple[float, float]] = None,  # in px^2
+    max_det: Optional[int] = None,  # per image (per class)
+    area_factors: Optional[Dict[int, float]] = None,  # image_id -> px^2/unit
+    ignore: Optional[Dict[int, np.ndarray]] = None,  # ignore w/o crowd-IoU
+    return_ranks: bool = False,
+) -> Tuple[np.ndarray, ...]:
+    """Single-range wrapper over :func:`_match_class_strata` (semantics and
+    return layout unchanged: (tp, ig, scores, n_gt[, ranks]))."""
+    per_range, scores, ranks = _match_class_strata(
+        dets, gts, iou_thresholds, [area_range], crowd=crowd,
+        max_det=max_det, area_factors=area_factors, ignore=ignore)
+    tp, ig, n_gt = per_range[0]
     return (tp, ig, scores, n_gt, ranks) if return_ranks else (
         tp, ig, scores, n_gt)
 
@@ -369,13 +401,15 @@ def coco_map(
     per_class: Dict[int, np.ndarray] = {}
     all_aps, strat_aps = [], {name: [] for name, _, _ in strata}
     recalls = {md: [] for md in max_dets}
+    # one matching pass per class covers ALL area ranges (IoUs, sorting, and
+    # marshaling shared; see _match_class_strata) — the 'all' range first
+    ranges = [(0.0, 1e10)] + [(lo, hi) for _, lo, hi in strata]
     for c in classes:
         dets, gts, crs = dets_by_class[c], gts_by_class[c], crowd_by_class[c]
-        tp, ig, scores, n_gt, ranks = _match_class(
-            dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
-            area_range=(0.0, 1e10), max_det=md_max,
-            area_factors=area_factors, ignore=ig_by_class[c],
-            return_ranks=True)
+        per_range, scores, ranks = _match_class_strata(
+            dets, gts, COCO_IOU_THRESHOLDS, ranges, crowd=crs,
+            max_det=md_max, area_factors=area_factors, ignore=ig_by_class[c])
+        tp, ig, n_gt = per_range[0]
         aps = _ap_from_tp(tp, n_gt, "101point", ig)
         per_class[c] = aps
         all_aps.append(aps)
@@ -384,15 +418,11 @@ def coco_map(
             if md == md_max:
                 continue
             # smaller max_det = per-image truncation of the md_max match
-            # (greedy score order; see _match_class docstring) — no re-match
+            # (greedy score order; see _match_class_strata docstring)
             keep = ranks < md
             recalls[md].append(
                 _recall_from_tp(tp[:, keep], n_gt, ig[:, keep]))
-        for name, lo, hi in strata:
-            tp_a, ig_a, _, n_gt_a = _match_class(
-                dets, gts, COCO_IOU_THRESHOLDS, crowd=crs,
-                area_range=(lo, hi), max_det=md_max,
-                area_factors=area_factors, ignore=ig_by_class[c])
+        for (name, _, _), (tp_a, ig_a, n_gt_a) in zip(strata, per_range[1:]):
             strat_aps[name].append(_ap_from_tp(tp_a, n_gt_a, "101point", ig_a))
 
     if not all_aps:

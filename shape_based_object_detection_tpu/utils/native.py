@@ -64,6 +64,15 @@ def load_ap_matcher() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
             u8p, u8p,
         ]
+        lib.sbd_match_class_strata.restype = None
+        lib.sbd_match_class_strata.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            u8p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            u8p, u8p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            u8p, u8p,
+        ]
         _LIB = lib
         return _LIB
 
@@ -101,6 +110,47 @@ def match_class_native(
         fptr(det_boxes), iptr(det_img_ids), uptr(det_oob), n,
         fptr(gt_boxes), iptr(gt_img_ids), uptr(gt_crowd), uptr(gt_ignore), m,
         fptr(thresholds), t,
+        uptr(tp), uptr(ig),
+    )
+    return tp, ig
+
+
+def match_class_strata_native(
+    det_boxes: np.ndarray,  # (N, 4) float32, score-sorted desc
+    det_img_ids: np.ndarray,  # (N,) int32
+    det_oob: np.ndarray,  # (K, N) uint8: det outside stratum k's area range
+    gt_boxes: np.ndarray,  # (M, 4) float32
+    gt_img_ids: np.ndarray,  # (M,) int32
+    gt_crowd: np.ndarray,  # (M,) uint8
+    gt_ignore: np.ndarray,  # (K, M) uint8 per-stratum ignore flags
+    thresholds: np.ndarray,  # (T,) float32
+) -> Optional[tuple]:
+    """All area strata of one class in ONE native call (IoUs, GT grouping,
+    and marshaling amortized across strata). Returns ((K, T, N) uint8 tp,
+    (K, T, N) uint8 ignore) or None if the library is unavailable."""
+    lib = load_ap_matcher()
+    if lib is None:
+        return None
+    det_boxes = np.ascontiguousarray(det_boxes, np.float32)
+    det_img_ids = np.ascontiguousarray(det_img_ids, np.int32)
+    det_oob = np.ascontiguousarray(det_oob, np.uint8)
+    gt_boxes = np.ascontiguousarray(gt_boxes, np.float32)
+    gt_img_ids = np.ascontiguousarray(gt_img_ids, np.int32)
+    gt_crowd = np.ascontiguousarray(gt_crowd, np.uint8)
+    gt_ignore = np.ascontiguousarray(gt_ignore, np.uint8)
+    thresholds = np.ascontiguousarray(thresholds, np.float32)
+    k = det_oob.shape[0]
+    n, m, t = len(det_img_ids), len(gt_img_ids), len(thresholds)
+    assert gt_ignore.shape == (k, m), (gt_ignore.shape, (k, m))
+    tp = np.zeros((k, t, n), np.uint8)
+    ig = np.zeros((k, t, n), np.uint8)
+    fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    uptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    lib.sbd_match_class_strata(
+        fptr(det_boxes), iptr(det_img_ids), uptr(det_oob), n,
+        fptr(gt_boxes), iptr(gt_img_ids), uptr(gt_crowd), uptr(gt_ignore), m,
+        k, fptr(thresholds), t,
         uptr(tp), uptr(ig),
     )
     return tp, ig

@@ -40,7 +40,8 @@ def test_native_matches_python(rng, monkeypatch, with_crowd, area_scale):
     m_native = coco_map(dets, gts, area_scale=area_scale)
 
     # disable the native fast path -> pure-Python reference loop
-    monkeypatch.setattr(native, "match_class_native", lambda *a, **k: None)
+    monkeypatch.setattr(native, "match_class_strata_native",
+                        lambda *a, **k: None)
     m_python = coco_map(dets, gts, area_scale=area_scale)
 
     for key in ("mAP", "AP50", "AP75", "APsmall", "APmedium", "APlarge",
@@ -86,3 +87,35 @@ def test_native_crowd_ignore_direct():
     tp, ig = out
     np.testing.assert_array_equal(tp, [[0]])
     np.testing.assert_array_equal(ig, [[1]])
+
+
+def test_strata_call_equals_per_range_calls(rng):
+    """The single multi-stratum native call must reproduce the per-range
+    single calls exactly (same protocol, amortized IoUs/marshaling)."""
+    if native.load_ap_matcher() is None:
+        pytest.skip("g++ unavailable")
+    n, m = 20, 12
+    det_boxes = rng.uniform(0, 1, (n, 4)).astype(np.float32)
+    det_boxes[:, 2:] += det_boxes[:, :2]
+    det_imgs = rng.integers(0, 3, n).astype(np.int32)
+    # score-sorted input is the contract; boxes are already in random order
+    gt_boxes = rng.uniform(0, 1, (m, 4)).astype(np.float32)
+    gt_boxes[:, 2:] += gt_boxes[:, :2]
+    gt_imgs = rng.integers(0, 3, m).astype(np.int32)
+    gt_crowd = (rng.uniform(size=m) < 0.25).astype(np.uint8)
+    thr = np.arange(0.5, 1.0, 0.05).astype(np.float32)
+
+    k = 3
+    det_oob = (rng.uniform(size=(k, n)) < 0.2).astype(np.uint8)
+    gt_ignore = ((rng.uniform(size=(k, m)) < 0.3) | gt_crowd[None].astype(
+        bool)).astype(np.uint8)
+
+    tp_s, ig_s = native.match_class_strata_native(
+        det_boxes, det_imgs, det_oob, gt_boxes, gt_imgs, gt_crowd,
+        gt_ignore, thr)
+    for s in range(k):
+        tp_1, ig_1 = native.match_class_native(
+            det_boxes, det_imgs, det_oob[s], gt_boxes, gt_imgs, gt_crowd,
+            gt_ignore[s], thr)
+        np.testing.assert_array_equal(tp_s[s], tp_1, err_msg=f"stratum {s}")
+        np.testing.assert_array_equal(ig_s[s], ig_1, err_msg=f"stratum {s}")
