@@ -27,9 +27,11 @@ SIZE = 512
 def measure_torch_baseline() -> dict:
     """images/sec of the torch-CPU golden RetinaNet R50 at 512px.
 
-    Both batch-1 (latency accounting) and batch-8 (the accounting the TPU
-    side uses) are measured, each over >= 20 images, so the headline ratio
-    does not rest on a 3-iteration sample (VERDICT r1 weak #5)."""
+    Both batch-1 (latency accounting) and batch-8 (the golden's best
+    throughput accounting) are measured, each over >= 20 images, so the
+    headline ratio does not rest on a 3-iteration sample (VERDICT r1 weak
+    #5). The TPU side runs BATCH (16); vs_baseline divides by the BETTER of
+    the two torch numbers — the conservative ratio."""
     import numpy as np
     import torch
 
@@ -43,6 +45,9 @@ def measure_torch_baseline() -> dict:
     rng = np.random.default_rng(0)
 
     def run(batch: int, iters: int) -> float:
+        # b1 = latency accounting; b8 = the golden's own best throughput
+        # accounting (the TPU side runs BATCH=16; vs_baseline divides by the
+        # torch golden's best of b1/b8, the conservative ratio)
         x = torch.from_numpy(
             rng.uniform(-1, 1, (batch, 3, SIZE, SIZE)).astype("float32"))
         with torch.no_grad():
@@ -113,6 +118,11 @@ def main() -> None:
     dep = (out.labels[0, 0] * 0).astype(images.dtype)
     out = detect(variables, images + dep)
     _ = float(out.scores[0, 0])
+    # ... and the RTT probe's (0,1) gather: it is a DIFFERENT cached
+    # executable from the (0,0) slice above; cold-compiling it inside the
+    # timed rtt measurement would inflate the subtracted RTT (and the
+    # reported img/s) for whichever window hits it first
+    _ = float(out.scores[0, 1])
 
     n = 20
     best_dt = float("inf")
@@ -133,9 +143,9 @@ def main() -> None:
         "metric": "retinanet_r50_fpn_512px_infer_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec",
-        # conservative accounting: TPU b8 throughput vs the torch golden's
-        # BEST accounting (its b8 throughput beats its b1); the b1-vs-b1
-        # ratio is strictly larger
+        # conservative accounting: TPU BATCH(=16) throughput vs the torch
+        # golden's BEST accounting (its b8 throughput beats its b1); the
+        # b1-vs-b1 ratio is strictly larger
         "vs_baseline": round(ips / max(baseline_ips, baseline_b8), 2),
     }))
 

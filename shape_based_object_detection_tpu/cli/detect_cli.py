@@ -41,7 +41,17 @@ def main(argv=None):
 
     import os
 
-    if os.path.isdir(args.image):
+    if args.artifact and (args.quantize or args.int8_activations):
+        # an artifact's program is frozen at export; silently running the
+        # float artifact would make an int8-vs-float comparison measure
+        # nothing — tools/export_model.py bakes the quantization mode in
+        raise SystemExit(
+            "--quantize/--int8-activations cannot modify an exported "
+            "--artifact; export with tools/export_model.py --quantize "
+            "[--int8-activations] instead")
+
+    is_dir = os.path.isdir(args.image)
+    if is_dir:
         exts = (".jpg", ".jpeg", ".png", ".bmp")
         paths = sorted(
             os.path.join(args.image, f) for f in os.listdir(args.image)
@@ -80,9 +90,12 @@ def main(argv=None):
                 args.save_viz,
                 os.path.splitext(os.path.basename(path))[0] + "_det.png")
             Image.fromarray(drawn).save(out_path)
-    # single-file invocations keep the original flat-list output contract
-    print(json.dumps(all_results[os.path.basename(paths[0])]
-                     if len(paths) == 1 else all_results, indent=2))
+    # single-FILE invocations keep the original flat-list output contract;
+    # directory mode always emits the {filename: [dets]} mapping, even for a
+    # directory that happens to contain one image (a schema keyed on the
+    # image COUNT would make consumers' parsing depend on directory content)
+    print(json.dumps(all_results if is_dir
+                     else all_results[os.path.basename(paths[0])], indent=2))
 
 
 def _build_runner(args):
@@ -122,14 +135,20 @@ def _build_runner(args):
             state = train_lib.create_train_state(module, variables, cfg)
             restored = CheckpointManager(
                 args.checkpoint_dir).restore_latest(state)
-            if restored is not None:
-                if args.ema and restored.ema_params is None:
-                    raise SystemExit(
-                        "--ema: checkpoint has no EMA weights (train with "
-                        "--ema-decay > 0)")
-                params = (restored.ema_params if args.ema
-                          else restored.params)
-                variables = {"params": params, **restored.extra_vars}
+            if restored is None:
+                # random weights emit garbage detections that look like
+                # output — a typo'd path must fail loud
+                raise SystemExit(
+                    f"no checkpoint found in {args.checkpoint_dir!r} — "
+                    "check the path (omit --checkpoint-dir to run "
+                    "fresh-initialized weights deliberately)")
+            if args.ema and restored.ema_params is None:
+                raise SystemExit(
+                    "--ema: checkpoint has no EMA weights (train with "
+                    "--ema-decay > 0)")
+            params = (restored.ema_params if args.ema
+                      else restored.params)
+            variables = {"params": params, **restored.extra_vars}
 
         if args.int8_activations and not args.quantize:
             raise SystemExit("--int8-activations requires --quantize")

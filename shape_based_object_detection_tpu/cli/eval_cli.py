@@ -61,8 +61,14 @@ def main(argv=None):
 
         state = train_lib.create_train_state(module, variables, cfg)
         restored = CheckpointManager(args.checkpoint_dir).restore_latest(state)
-        if restored is not None:
-            variables = {"params": restored.params, **restored.extra_vars}
+        if restored is None:
+            # evaluating fresh random weights prints a plausible-looking
+            # near-zero mAP — a typo'd path must fail loud, not mislead
+            raise SystemExit(
+                f"no checkpoint found in {args.checkpoint_dir!r} — check the "
+                "path (omit --checkpoint-dir to eval fresh-initialized "
+                "weights deliberately)")
+        variables = {"params": restored.params, **restored.extra_vars}
 
     from shape_based_object_detection_tpu.quantize import make_serving_detect
 
@@ -110,27 +116,40 @@ def main(argv=None):
             out[b] = max(w, h) ** 2 if cfg.data.letterbox else w * h
         return out
 
+    import types
+
     sample_idx = 0
-    for i, batch in enumerate(loader.batches()):
-        images = jnp.asarray(batch.images)
+    # batches_padded covers the ragged tail (batches() would silently skip
+    # up to batch_size-1 images, skewing mAP and truncating --dump-results);
+    # padded rows are dropped below via n_valid
+    for i, (batch, n_valid) in enumerate(loader.batches_padded()):
         if data_shard is not None:
-            images = jax.device_put(images, data_shard)
+            # one host->mesh transfer (jnp.asarray first would commit to the
+            # default device and pay a second device-to-device reshard)
+            images = jax.device_put(batch.images, data_shard)
+        else:
+            images = jnp.asarray(batch.images)
         det = detect(variables, images)
+        det_np = types.SimpleNamespace(
+            boxes=np.asarray(det.boxes)[:n_valid],
+            scores=np.asarray(det.scores)[:n_valid],
+            labels=np.asarray(det.labels)[:n_valid],
+            valid=np.asarray(det.valid)[:n_valid])
         # detect() labels are 0-based foreground ids; GT labels are 1-based.
         # The flag channel is COCO crowd (crowd-IoU ignore) or VOC difficult
         # (plain-IoU ignore, the official VOC protocol) by dataset kind.
         flag_kw = "gt_crowd" if is_coco_ds else "gt_ignore"
-        ev.add_batch(det, batch.boxes, batch.labels - 1, batch.valid,
-                     area_factors=batch_area_factors(
-                         sample_idx, batch.images.shape[0]),
-                     **{flag_kw: batch.crowd})
+        ev.add_batch(det_np, batch.boxes[:n_valid], batch.labels[:n_valid] - 1,
+                     batch.valid[:n_valid],
+                     area_factors=batch_area_factors(sample_idx, n_valid),
+                     **{flag_kw: batch.crowd[:n_valid]})
         if args.dump_results and is_coco_ds:
             # recover original image ids/sizes for the same dataset rows
             from shape_based_object_detection_tpu.utils.image import (
                 boxes_norm_to_original_px,
             )
 
-            for b in range(batch.images.shape[0]):
+            for b in range(n_valid):
                 im = dataset.images[sample_idx + b]
                 v = np.asarray(det.valid[b])
                 boxes_px = boxes_norm_to_original_px(
@@ -148,7 +167,7 @@ def main(argv=None):
                                  round(x1 - x0, 2), round(y1 - y0, 2)],
                         "score": round(float(score), 5),
                     })
-        sample_idx += batch.images.shape[0]
+        sample_idx += n_valid
         if args.max_batches and i + 1 >= args.max_batches:
             break
     if args.dump_results:

@@ -225,7 +225,12 @@ def main(argv=None):
             data_root=args.val_root, ann_file=args.val_ann_file or args.ann_file,
             split=args.val_split)
         val_dataset = build_dataset(cfg, val_args, include_ignore=True)
-        val_loader = Loader(val_dataset, cfg.data.batch_size,
+        # per-HOST batch size: multi-host, every host redundantly evaluates
+        # the full split (identical inputs -> identical best-keeper
+        # decisions) at the training step's activation footprint — a
+        # global-batch loader here would replicate cfg #5's entire global
+        # batch onto every device (~num_hosts x the training memory)
+        val_loader = Loader(val_dataset, per_host_bs,
                             cfg.data.max_boxes, shuffle=False,
                             workers=args.workers)
         best_keeper = BestCheckpointKeeper(
@@ -241,6 +246,8 @@ def main(argv=None):
                                      shuffle=False, workers=0)
 
     def run_eval(state):
+        import types
+
         from shape_based_object_detection_tpu.eval import Evaluator
 
         use_val = val_loader is not None
@@ -248,13 +255,26 @@ def main(argv=None):
         cap = args.val_batches if (use_val and args.val_batches) else (
             0 if use_val else 5)
         ev = Evaluator(area_scale=cfg.model.image_size)
+        # single-process: shard eval batches over the data axis (same memory
+        # footprint as a train step). Multi-process: the loader is unsharded
+        # and identical on every host, so plain numpy inputs are valid
+        # replicated args to the mesh-placed state.
+        shard_eval = jax.process_count() == 1
         # the batch's flag channel is COCO crowd (crowd-IoU ignore) or VOC
         # difficult (plain ignore) depending on the dataset kind
         flag_kw = ("gt_crowd" if cfg.data.dataset == "coco" else "gt_ignore")
-        for i, b in enumerate(src.batches()):
-            det = eval_step(state, b.images)
-            ev.add_batch(det, b.boxes, b.labels - 1, b.valid,
-                         **{flag_kw: b.crowd})
+        # batches_padded: full split coverage incl. the ragged tail
+        for i, (b, n_valid) in enumerate(src.batches_padded()):
+            images = (jax.device_put(b.images, data_shard) if shard_eval
+                      else b.images)
+            det = eval_step(state, images)
+            det_np = types.SimpleNamespace(
+                boxes=np.asarray(det.boxes)[:n_valid],
+                scores=np.asarray(det.scores)[:n_valid],
+                labels=np.asarray(det.labels)[:n_valid],
+                valid=np.asarray(det.valid)[:n_valid])
+            ev.add_batch(det_np, b.boxes[:n_valid], b.labels[:n_valid] - 1,
+                         b.valid[:n_valid], **{flag_kw: b.crowd[:n_valid]})
             if cap and i + 1 >= cap:
                 break
         return ev.voc()["mAP"]
@@ -280,10 +300,29 @@ def main(argv=None):
         pass  # main() called off the main thread: no preemption hook
 
     step = int(state.step)
-    epoch = 0
+    # Resume mid-run at the right position in the data schedule: epoch 0
+    # here would replay already-seen shuffles (over-representing early
+    # epochs). The skipped prefix of the resumed epoch is fetched and
+    # discarded once — host-side cost only, paid once per restart.
+    spe = loader.steps_per_epoch()
+    epoch = step // spe if spe else 0
+    skip = step % spe if spe else 0
+    # stream-based loaders (grain) ignore the epoch arg — one persistent
+    # stream serves all epochs — so a resume must skip the WHOLE consumed
+    # prefix, not just the position within the current epoch
+    if step and not hasattr(loader, "_epoch_indices"):
+        skip = epoch * spe + skip
+    if step and (epoch or skip):
+        print(f"resuming data schedule at epoch {epoch}, batch {skip}")
     nonfinite_steps = 0
     while step < cfg.train.total_steps:
-        for batch in loader.device_batches(epoch, sharding=data_shard):
+        batch_iter = loader.device_batches(epoch, sharding=data_shard)
+        if skip:
+            import itertools
+
+            batch_iter = itertools.islice(batch_iter, skip, None)
+            skip = 0
+        for batch in batch_iter:
             state, metrics = train_step(state, batch._asdict())
             step += 1
             # Divergence guard: the logger materializes metrics each step

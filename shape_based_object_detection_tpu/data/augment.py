@@ -155,14 +155,9 @@ def _sample_window(rng: jax.Array, boxes: jnp.ndarray, valid: jnp.ndarray,
 
         # constraint: max IoU(crop, any valid gt) >= min_iou  AND at least one
         # gt center inside (so the crop keeps an object)
-        lt = jnp.maximum(cand[:, None, :2], boxes_w[None, :, :2])
-        rb = jnp.minimum(cand[:, None, 2:], boxes_w[None, :, 2:])
-        whi = jnp.clip(rb - lt, 0.0, None)
-        inter = whi[..., 0] * whi[..., 1]
-        area_c = (cand[:, 2] - cand[:, 0]) * (cand[:, 3] - cand[:, 1])
-        area_b = jnp.clip(boxes_w[:, 2] - boxes_w[:, 0], 0, None) * jnp.clip(
-            boxes_w[:, 3] - boxes_w[:, 1], 0, None)
-        iou = inter / jnp.maximum(area_c[:, None] + area_b[None, :] - inter, 1e-8)
+        from shape_based_object_detection_tpu.ops import boxes as box_ops
+
+        iou = box_ops.iou_matrix(cand, boxes_w)  # (T, G)
         iou = jnp.where(valid[None, :], iou, -1.0)
         centers = (boxes_w[:, :2] + boxes_w[:, 2:]) / 2.0
         inside = jnp.logical_and(
@@ -247,6 +242,9 @@ def _augment_one(rng: jax.Array, img_u8: jnp.ndarray, boxes: jnp.ndarray,
             axis=1,
         )
         boxes = jnp.where(flip, flipped, boxes)
+        # the flip formula turns zeroed padding rows into (1, 0, 1, 0):
+        # restore the invalid-rows-are-zero invariant _transform_boxes set
+        boxes = jnp.where(valid[:, None], boxes, 0.0)
 
     std = jnp.asarray(cfg.std, dtype)
     img = (img - mean) / std

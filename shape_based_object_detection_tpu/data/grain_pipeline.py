@@ -121,6 +121,11 @@ class GrainLoader:
             ))
         return self._stream
 
+    def steps_per_epoch(self) -> int:
+        """Full batches per epoch per host (Loader-facade parity; used by
+        the train loop to derive the resume epoch)."""
+        return (len(self.dataset) // self.num_hosts) // self.batch_size
+
     def batches(self, epoch: int = 0):
         del epoch  # grain's sampler owns the shuffle schedule
         stream = self._ensure_stream()

@@ -151,6 +151,39 @@ class Loader:
                 crowd=np.stack(crs),
             )
 
+    def steps_per_epoch(self) -> int:
+        """Full batches per epoch per host — the train loop's epoch length
+        (used to derive the resume epoch from a restored step count)."""
+        return len(self._epoch_indices(0)) // self.batch_size
+
+    def batches_padded(self, epoch: int = 0):
+        """Full-coverage iteration for EVAL: every sample of this host's
+        shard appears exactly once — the ragged tail batch is padded to the
+        static batch shape by repeating its last sample and yielded with its
+        true row count. Yields ``(DetectionBatch, n_valid)``; consumers must
+        ignore rows >= n_valid (``batches()`` instead DROPS the tail, which
+        is correct for training but silently skews eval metrics)."""
+        idx = self._epoch_indices(epoch)
+        bs = self.batch_size
+        for start in range(0, len(idx), bs):
+            chunk = idx[start:start + bs]
+            n_valid = len(chunk)
+            if n_valid < bs:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - n_valid)])
+            if self._pool is not None:
+                samples = list(self._pool.map(self._sample, chunk))
+            else:
+                samples = [self._sample(i) for i in chunk]
+            imgs, bxs, lbs, vds, crs = zip(*samples)
+            yield DetectionBatch(
+                images=np.stack(imgs),
+                boxes=np.stack(bxs),
+                labels=np.stack(lbs),
+                valid=np.stack(vds),
+                crowd=np.stack(crs),
+            ), n_valid
+
     def device_batches(
         self, epoch: int = 0, sharding: Optional["jax.sharding.Sharding"] = None
     ) -> Iterator[DetectionBatch]:

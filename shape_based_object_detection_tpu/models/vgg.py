@@ -63,9 +63,13 @@ class VGG16Trunk(nn.Module):
         x = relu(conv(w(256), "conv3_1")(x))
         x = relu(conv(w(256), "conv3_2")(x))
         x = relu(conv(w(256), "conv3_3")(x))
-        # pool3 is ceil-mode in the family (75 -> 38 at 300px): pad odd inputs.
-        if x.shape[1] % 2 == 1:
-            x = nn.max_pool(x, (2, 2), strides=(2, 2), padding=((0, 1), (0, 1)))
+        # pool3 is ceil-mode in the family (75 -> 38 at 300px): pad odd dims.
+        # Each spatial dim independently (a non-square map may be odd in only
+        # one); max_pool pads with -inf, so padding is exact ceil_mode.
+        ph, pw = x.shape[1] % 2, x.shape[2] % 2
+        if ph or pw:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2),
+                            padding=((0, ph), (0, pw)))
         else:
             x = pool(x)
         x = relu(conv(w(512), "conv4_1")(x))

@@ -183,6 +183,23 @@ _INSTALL_LOCK = _threading.Lock()
 _TLS = _threading.local()
 
 
+class _LaxProxy:
+    """Stand-in for flax.linen.linear's module-level ``lax`` binding:
+    ``conv_general_dilated`` routes through the thread-local int8 hook,
+    everything else forwards to the real jax.lax. Assigning this PROXY to
+    ``flax.linen.linear.lax`` scopes the patch to flax's conv call site —
+    setting the attribute on the bound module directly would mutate
+    ``jax.lax`` itself (the binding IS the module object), monkey-patching
+    conv_general_dilated process-wide for every jax user."""
+
+    def __init__(self, true_lax, routing_conv):
+        self._true_lax = true_lax
+        self.conv_general_dilated = routing_conv
+
+    def __getattr__(self, name):  # only called for attrs not set above
+        return getattr(self._true_lax, name)
+
+
 def _install_routing_conv() -> None:
     global _TRUE_CONV
     from flax.linen import linear as _flax_linear
@@ -198,7 +215,7 @@ def _install_routing_conv() -> None:
                 return _TRUE_CONV(*args, **kwargs)
             return impl(*args, **kwargs)
 
-        _flax_linear.lax.conv_general_dilated = routing_conv
+        _flax_linear.lax = _LaxProxy(_flax_linear.lax, routing_conv)
 
 
 def int8_conv_interceptor(skip_fn=None, min_size: int = 1024):

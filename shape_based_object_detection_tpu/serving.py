@@ -113,12 +113,25 @@ class Predictor:
         return unpack_detections(det, sizes, self.min_score, self.letterbox)
 
     def predict(self, images: Sequence[np.ndarray]) -> List[Detection]:
-        """Any request size: runs ceil(len/batch_size) compiled batches.
+        """Any request size: runs ceil(len/batch_size) compiled batches,
+        PIPELINED — chunk i+1's host prepare/dispatch happens before chunk
+        i's blocking readback, so host prep overlaps device execution
+        (submit-then-immediately-poll would serialize them).
         (submit/poll remain the <= batch_size single-dispatch surface.)"""
         out: List[Detection] = []
+        pending: Optional[Tuple] = None
         for i in range(0, len(images), self.batch_size):
-            self.submit(images[i:i + self.batch_size])
-            out.extend(self.poll())
+            batch, sizes = prepare_batch(images[i:i + self.batch_size],
+                                         self.size, self.batch_size,
+                                         self.letterbox)
+            det = self._detect(self.variables, jnp.asarray(batch))  # async
+            if pending is not None:
+                out.extend(unpack_detections(*pending, self.min_score,
+                                             self.letterbox))
+            pending = (det, sizes)
+        if pending is not None:
+            out.extend(unpack_detections(*pending, self.min_score,
+                                         self.letterbox))
         return out
 
 
@@ -136,12 +149,19 @@ class ArtifactPredictor:
         self.letterbox = bool(self._model.header.get("letterbox", False))
 
     def predict(self, images: Sequence[np.ndarray]) -> List[Detection]:
+        # same prepare->dispatch->readback pipeline as Predictor.predict
         out: List[Detection] = []
+        pending = None
         for i in range(0, len(images), self.batch_size):
             chunk = images[i:i + self.batch_size]
             batch, sizes = prepare_batch(chunk, self.size, self.batch_size,
                                          self.letterbox)
-            det = self._model(batch)
-            out.extend(unpack_detections(det, sizes, self.min_score,
+            det = self._model(batch)  # async dispatch
+            if pending is not None:
+                out.extend(unpack_detections(*pending, self.min_score,
+                                             self.letterbox))
+            pending = (det, sizes)
+        if pending is not None:
+            out.extend(unpack_detections(*pending, self.min_score,
                                          self.letterbox))
         return out

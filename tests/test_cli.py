@@ -417,3 +417,38 @@ def test_train_cli_divergence_guard(tmp_path, capsys):
               "--checkpoint-dir", str(tmp_path / "ckpt"), "--log-every",
               "100", "--workers", "0", "--set", "train.base_lr=1e12",
               "--set", "train.grad_clip_norm=1e30"])
+
+
+def test_eval_cli_missing_checkpoint_fails_loud(tmp_path):
+    """A typo'd --checkpoint-dir must error, not print near-zero mAP from
+    fresh random weights (review finding)."""
+    from shape_based_object_detection_tpu.cli.eval_cli import main
+
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        main(["--config", "tiny_ssd", "--max-batches", "1",
+              "--checkpoint-dir", str(tmp_path / "nonexistent_run")])
+
+
+def test_detect_cli_artifact_rejects_quantize_flags(tmp_path):
+    from shape_based_object_detection_tpu.cli.detect_cli import main
+
+    with pytest.raises(SystemExit, match="artifact"):
+        main(["--image", "x.jpg", "--artifact", "m.sbdx", "--quantize"])
+
+
+def test_detect_cli_directory_schema_stable(tmp_path, capsys):
+    """A directory with ONE image still emits the {filename: [dets]}
+    mapping — the schema must not depend on directory content count."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from shape_based_object_detection_tpu.cli.detect_cli import main
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(d / "only.jpg")
+    main(["--config", "tiny_ssd", "--image", str(d), "--min-score", "0.0"])
+    out = json.loads(capsys.readouterr().out)
+    assert isinstance(out, dict) and list(out) == ["only.jpg"]

@@ -381,3 +381,25 @@ def test_grain_loader_raises_when_shard_smaller_than_batch():
     gl = GrainLoader(ds, batch_size=8, max_boxes=6, workers=0)
     with pytest.raises(ValueError, match="batch_size"):
         next(gl.batches(0))
+
+
+def test_batches_padded_full_coverage():
+    """batches_padded yields every sample exactly once, padding the ragged
+    tail to the static shape (batches() drops it — wrong for eval)."""
+    ds = SyntheticDetection(size=32, num_images=10)
+    loader = Loader(ds, batch_size=4, max_boxes=6, shuffle=False)
+    total, shapes = 0, []
+    for batch, n_valid in loader.batches_padded():
+        shapes.append(batch.images.shape)
+        total += n_valid
+    assert total == 10  # full coverage: 4 + 4 + 2
+    assert all(s == (4, 32, 32, 3) for s in shapes)  # static shapes kept
+    # the padded rows of the tail batch repeat the last real sample
+    assert len(shapes) == 3
+    assert loader.steps_per_epoch() == 2  # train loop still drops the tail
+
+
+def test_loader_steps_per_epoch_multihost():
+    ds = SyntheticDetection(size=32, num_images=15)
+    l0 = Loader(ds, 2, 4, host_id=0, num_hosts=2)
+    assert l0.steps_per_epoch() == 3  # 14 shared -> 7/host -> 3 full batches

@@ -250,3 +250,23 @@ def test_quantize_mode_validation(tiny_cfg):
     assert q_lib.normalize_quantize_mode(True) == "weights"
     assert q_lib.normalize_quantize_mode("full") == "full"
     assert q_lib.normalize_quantize_mode(False) == ""
+
+
+def test_routing_conv_does_not_patch_jax_lax():
+    """Installing the int8 routing hook must scope to flax's conv call site
+    (a proxy on flax.linen.linear.lax) — assigning through the module
+    binding would monkey-patch jax.lax.conv_general_dilated process-wide
+    (review finding)."""
+    import jax.lax as real_lax
+
+    from shape_based_object_detection_tpu import quantize as q
+
+    before = real_lax.conv_general_dilated
+    q._install_routing_conv()
+    assert real_lax.conv_general_dilated is before
+    # flax's call site IS routed
+    from flax.linen import linear as fl
+
+    assert fl.lax.conv_general_dilated is not before
+    # and non-conv attributes still forward to the real module
+    assert fl.lax.dot_general is real_lax.dot_general
