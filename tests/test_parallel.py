@@ -166,7 +166,9 @@ def test_two_process_distributed_train_step(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            # generous: ~3 min idle-host, but CI-style runs sharing the CPU
+            # with other suites have pushed it past 10 (observed once)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
