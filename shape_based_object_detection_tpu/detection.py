@@ -49,26 +49,33 @@ def postprocess(
         sel_scores = jax.nn.softmax(cls_logits, axis=-1)[..., 1:]
         activation = None
 
-    decoded = box_ops.decode_boxes(box_offsets, anchors_cxcywh,
-                                   cfg.anchors.variances)
-    boxes_xyxy = box_ops.clip_boxes(box_ops.cxcywh_to_xyxy(decoded))
-
     batch = cls_logits.shape[0]
-    pairs = boxes_xyxy.shape[1] * sel_scores.shape[-1]
+    pairs = box_offsets.shape[1] * sel_scores.shape[-1]
     select = jax.vmap(
         functools.partial(
-            nms_lib.select_top_candidates,
+            nms_lib.select_top_candidate_pairs,
             score_threshold=det.score_threshold,
             top_k=det.pre_nms_top_k,
             approx=det.approx_topk,
             activation=activation,
-            # batch-aware strategy choice (see select_top_candidates): the
-            # prereduce amortizes at batch, flat top_k wins at b1 small-A*C
+            # batch-aware strategy choice (see select_top_candidate_pairs):
+            # the prereduce amortizes at batch, flat top_k wins at b1
+            # small-A*C
             two_stage=(pairs >= 2_000_000 or batch >= 4),
         )
     )
-    cand_boxes, cand_scores, cand_classes, cand_valid = select(
-        boxes_xyxy, sel_scores)
+    anchor_idx, cand_scores, cand_classes, cand_valid = select(sel_scores)
+
+    # Deferred decode: box decode/clip/convert is row-wise elementwise, so
+    # decoding only the K selected anchors (gathered offsets + anchors) is
+    # bit-identical to decoding all A anchors and gathering — and skips an
+    # (B, A, 4) HBM round-trip per stage (A up to ~196k at 1024px vs K=1000).
+    cand_offsets = jnp.take_along_axis(
+        box_offsets, anchor_idx[..., None], axis=1)  # (B, K, 4)
+    cand_anchors = anchors_cxcywh[anchor_idx]  # (B, K, 4)
+    decoded = box_ops.decode_boxes(cand_offsets, cand_anchors,
+                                   cfg.anchors.variances)
+    cand_boxes = box_ops.clip_boxes(box_ops.cxcywh_to_xyxy(decoded))
 
     backend = det.nms_backend
     if use_pallas is not None:  # explicit override (tests, legacy arg)

@@ -222,6 +222,23 @@ def select_top_candidates(
     activation=None,
     two_stage: bool | None = None,
 ):
+    """:func:`select_top_candidate_pairs` + the box gather (legacy surface;
+    detection.postprocess uses the pairs form and DEFERS box decoding to the
+    K winners instead of decoding all A anchors)."""
+    anchor_idx, top_scores, class_idx, ok = select_top_candidate_pairs(
+        class_scores, score_threshold, top_k, approx=approx,
+        activation=activation, two_stage=two_stage)
+    return boxes_xyxy[anchor_idx], top_scores, class_idx, ok
+
+
+def select_top_candidate_pairs(
+    class_scores: jnp.ndarray,  # (A, C) per-class selection scores
+    score_threshold: float,
+    top_k: int,
+    approx: bool = False,
+    activation=None,
+    two_stage: bool | None = None,
+):
     """Keep the top-k (anchor, class) pairs by score — EXACTLY — in two
     stages that avoid ever running top-k over the full A*C pair set:
 
@@ -237,10 +254,13 @@ def select_top_candidates(
     ``approx_max_k`` (which also faults the v5e runtime in one bf16 SSD-512
     program — STATUS.md).
 
-    Returns (boxes (K,4), scores (K,), classes (K,), valid (K,)) with classes
-    in [0, C). Below-threshold pairs are masked invalid (but still occupy
-    slots if fewer than K pass — callers rely on the valid mask, giving exact
-    per-class score-threshold semantics with static shapes).
+    Returns (anchor_idx (K,), scores (K,), classes (K,), valid (K,)) with
+    classes in [0, C). Below-threshold pairs are masked invalid (but still
+    occupy slots if fewer than K pass — callers rely on the valid mask,
+    giving exact per-class score-threshold semantics with static shapes).
+    Returning INDICES (not boxes) lets the caller decode only the K winning
+    anchors — box decode/clip/convert over all A anchors is pure HBM
+    bandwidth that selection makes unnecessary.
 
     ``approx`` is accepted for config compatibility and ignored: the exact
     two-stage selection is faster than ``approx_max_k`` was. ``activation``
@@ -278,7 +298,7 @@ def select_top_candidates(
         top_scores = activation(top_scores)
     class_idx = (top_idx % c).astype(jnp.int32)
     return (
-        boxes_xyxy[anchor_idx],
+        anchor_idx,
         top_scores,
         class_idx,
         top_scores > score_threshold,
