@@ -89,7 +89,11 @@ def main(argv=None):
     import jax
 
     data_shard = None
-    if jax.device_count() > 1 and cfg.data.batch_size % jax.device_count() == 0:
+    # single-process only: multi-process, a device_put of host-local data
+    # against a global sharding would reinterpret each host's batch as the
+    # whole global batch (train_cli's run_eval owns the multi-host path)
+    if (jax.process_count() == 1 and jax.device_count() > 1
+            and cfg.data.batch_size % jax.device_count() == 0):
         from shape_based_object_detection_tpu.parallel import (
             batch_sharding, replicated_sharding,
         )

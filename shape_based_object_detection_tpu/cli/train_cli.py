@@ -209,8 +209,16 @@ def main(argv=None):
                         **loader_kwargs)
     logger = MetricsLogger(log_every=args.log_every,
                            tensorboard_dir=args.tb_dir or None)
-    eval_step = (train_lib.make_eval_step(module, anchors, cfg)
-                 if args.eval_every else None)
+    # Multi-host eval is SHARDED: each host feeds its slice of the global
+    # batch and the eval program's output is constrained REPLICATED, so
+    # every host reads the full detection set (XLA inserts the all-gather)
+    # and computes the identical metric — eval wall-clock divides by the
+    # pod size instead of every host redundantly evaluating the whole split.
+    multiproc = jax.process_count() > 1
+    eval_step = (train_lib.make_eval_step(
+        module, anchors, cfg,
+        out_sharding=replicated_sharding(mesh) if multiproc else None)
+        if args.eval_every else None)
 
     # val-split eval + best-mAP tracking (component C18): a separate
     # held-out loader and a single best checkpoint under <ckpt>/best
@@ -225,14 +233,14 @@ def main(argv=None):
             data_root=args.val_root, ann_file=args.val_ann_file or args.ann_file,
             split=args.val_split)
         val_dataset = build_dataset(cfg, val_args, include_ignore=True)
-        # per-HOST batch size: multi-host, every host redundantly evaluates
-        # the full split (identical inputs -> identical best-keeper
-        # decisions) at the training step's activation footprint — a
-        # global-batch loader here would replicate cfg #5's entire global
-        # batch onto every device (~num_hosts x the training memory)
+        # per-HOST batch size + host sharding: multi-host, each host loads
+        # only its slice (see the sharded-eval note above); single-host this
+        # is the plain full-split loader at the training batch size
         val_loader = Loader(val_dataset, per_host_bs,
                             cfg.data.max_boxes, shuffle=False,
-                            workers=args.workers)
+                            workers=args.workers,
+                            host_id=jax.process_index(),
+                            num_hosts=jax.process_count())
         best_keeper = BestCheckpointKeeper(
             os.path.join(cfg.train.checkpoint_dir, "best"))
 
@@ -243,7 +251,9 @@ def main(argv=None):
     train_sample_loader = None
     if args.eval_every and val_loader is None:
         train_sample_loader = Loader(dataset, per_host_bs, cfg.data.max_boxes,
-                                     shuffle=False, workers=0)
+                                     shuffle=False, workers=0,
+                                     host_id=jax.process_index(),
+                                     num_hosts=jax.process_count())
 
     def run_eval(state):
         import types
@@ -255,26 +265,48 @@ def main(argv=None):
         cap = args.val_batches if (use_val and args.val_batches) else (
             0 if use_val else 5)
         ev = Evaluator(area_scale=cfg.model.image_size)
-        # single-process: shard eval batches over the data axis (same memory
-        # footprint as a train step). Multi-process: the loader is unsharded
-        # and identical on every host, so plain numpy inputs are valid
-        # replicated args to the mesh-placed state.
-        shard_eval = jax.process_count() == 1
+        nproc = jax.process_count()
         # the batch's flag channel is COCO crowd (crowd-IoU ignore) or VOC
         # difficult (plain ignore) depending on the dataset kind
         flag_kw = ("gt_crowd" if cfg.data.dataset == "coco" else "gt_ignore")
+
+        def host_rows(x, n_valid):
+            """Global (nproc*per_host_bs, ...) array -> the real (unpadded)
+            rows, preserving the process-major global row order. Every host's
+            padded-tail shard has the SAME n_valid (shards are truncated to
+            equal length), so the slice is uniform."""
+            x = np.asarray(x)
+            x = x.reshape((nproc, -1) + x.shape[1:])[:, :n_valid]
+            return x.reshape((-1,) + x.shape[2:])
+
         # batches_padded: full split coverage incl. the ragged tail
         for i, (b, n_valid) in enumerate(src.batches_padded()):
-            images = (jax.device_put(b.images, data_shard) if shard_eval
-                      else b.images)
-            det = eval_step(state, images)
+            if nproc > 1:
+                # sharded eval: this host's slice -> global batch; output is
+                # replicated (make_eval_step out_sharding), so the full
+                # detection set is host-readable everywhere
+                from jax.experimental import multihost_utils
+
+                images = jax.make_array_from_process_local_data(
+                    data_shard, b.images)
+                det = eval_step(state, images)
+                gt_b, gt_l, gt_v, gt_c = multihost_utils.process_allgather(
+                    (b.boxes, b.labels, b.valid, b.crowd), tiled=True)
+            else:
+                # shard over local devices: same memory footprint as a
+                # train step (replicating a full batch per device OOMs at
+                # config-#5 scale)
+                det = eval_step(state, jax.device_put(b.images, data_shard))
+                gt_b, gt_l, gt_v, gt_c = b.boxes, b.labels, b.valid, b.crowd
             det_np = types.SimpleNamespace(
-                boxes=np.asarray(det.boxes)[:n_valid],
-                scores=np.asarray(det.scores)[:n_valid],
-                labels=np.asarray(det.labels)[:n_valid],
-                valid=np.asarray(det.valid)[:n_valid])
-            ev.add_batch(det_np, b.boxes[:n_valid], b.labels[:n_valid] - 1,
-                         b.valid[:n_valid], **{flag_kw: b.crowd[:n_valid]})
+                boxes=host_rows(det.boxes, n_valid),
+                scores=host_rows(det.scores, n_valid),
+                labels=host_rows(det.labels, n_valid),
+                valid=host_rows(det.valid, n_valid))
+            ev.add_batch(det_np, host_rows(gt_b, n_valid),
+                         host_rows(gt_l, n_valid) - 1,
+                         host_rows(gt_v, n_valid),
+                         **{flag_kw: host_rows(gt_c, n_valid)})
             if cap and i + 1 >= cap:
                 break
         return ev.voc()["mAP"]

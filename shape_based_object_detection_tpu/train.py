@@ -208,10 +208,15 @@ def make_train_step(
 
 
 def make_eval_step(module, anchors: jnp.ndarray, cfg: ExperimentConfig,
-                   use_ema: bool = False):
+                   use_ema: bool = False, out_sharding=None):
     """Jitted forward + postprocess for validation (one program, no host loop).
 
-    ``use_ema=True`` evaluates the EMA weights (requires ema_decay > 0)."""
+    ``use_ema=True`` evaluates the EMA weights (requires ema_decay > 0).
+    ``out_sharding`` (e.g. a replicated NamedSharding) constrains the output
+    Detections: under multi-host sharded eval the inputs are data-sharded
+    over the global mesh, and a replicated output makes every host able to
+    read the FULL detection set directly (XLA inserts the all-gather) —
+    no separate host-side collective needed."""
     from shape_based_object_detection_tpu.detection import postprocess
     from shape_based_object_detection_tpu.utils.image import normalize_images
 
@@ -228,6 +233,10 @@ def make_eval_step(module, anchors: jnp.ndarray, cfg: ExperimentConfig,
         cls_logits, box_offsets = module.apply(
             {"params": params, **state.extra_vars}, x
         )
-        return postprocess(cls_logits, box_offsets, anchors, cfg.model)
+        det = postprocess(cls_logits, box_offsets, anchors, cfg.model)
+        if out_sharding is not None:
+            det = jax.lax.with_sharding_constraint(
+                det, jax.tree_util.tree_map(lambda _: out_sharding, det))
+        return det
 
     return eval_step

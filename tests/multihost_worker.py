@@ -101,4 +101,45 @@ checksum = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
 loss = float(np.asarray(metrics["loss"]))
 print(f"RESULT proc={proc_id} checksum={checksum:.6f} loss={loss:.6f}",
     flush=True)
+
+# ---- sharded multi-host EVAL (train_cli.run_eval's multi-process path):
+# each host feeds its shard of the global batch, the eval program's output
+# is constrained replicated, GT is allgathered — every host must compute
+# the identical full-split metric.
+import types
+
+from jax.experimental import multihost_utils
+
+from shape_based_object_detection_tpu.eval import Evaluator
+
+eval_step = train_lib.make_eval_step(module, anchors, cfg,
+                                     out_sharding=rshard)
+eval_loader = Loader(ds, per_host, cfg.data.max_boxes, shuffle=False,
+                     host_id=proc_id, num_hosts=nproc)
+ev = Evaluator(area_scale=model_cfg.image_size)
+n_images = 0
+
+
+def host_rows(x, n_valid):
+    x = np.asarray(x)
+    x = x.reshape((nproc, -1) + x.shape[1:])[:, :n_valid]
+    return x.reshape((-1,) + x.shape[2:])
+
+
+for eb, n_valid in eval_loader.batches_padded():
+    gimages = globalize(eb.images, dshard)
+    det = eval_step(state, gimages)
+    gt_b, gt_l, gt_v, gt_c = multihost_utils.process_allgather(
+        (eb.boxes, eb.labels, eb.valid, eb.crowd), tiled=True)
+    det_np = types.SimpleNamespace(
+        boxes=host_rows(det.boxes, n_valid),
+        scores=host_rows(det.scores, n_valid),
+        labels=host_rows(det.labels, n_valid),
+        valid=host_rows(det.valid, n_valid))
+    ev.add_batch(det_np, host_rows(gt_b, n_valid),
+                 host_rows(gt_l, n_valid) - 1, host_rows(gt_v, n_valid),
+                 gt_ignore=host_rows(gt_c, n_valid))
+    n_images += det_np.boxes.shape[0]
+emap = ev.voc()["mAP"]
+print(f"EVAL proc={proc_id} images={n_images} map={emap:.6f}", flush=True)
 jax.distributed.shutdown()

@@ -177,12 +177,21 @@ def test_two_process_distributed_train_step(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
     results = {}
+    evals = {}
     for out in outs:
         m = re.search(r"RESULT proc=(\d+) checksum=([\d.]+) loss=([\d.]+)", out)
         assert m, f"no RESULT line:\n{out[-3000:]}"
         results[int(m.group(1))] = (m.group(2), m.group(3))
+        e = re.search(r"EVAL proc=(\d+) images=(\d+) map=([\d.]+)", out)
+        assert e, f"no EVAL line:\n{out[-3000:]}"
+        evals[int(e.group(1))] = (e.group(2), e.group(3))
     assert set(results) == {0, 1}
     assert results[0] == results[1], f"processes diverged: {results}"
+    # sharded eval: both hosts cover the FULL dataset between them and
+    # compute the identical metric (replicated output + allgathered GT)
+    assert set(evals) == {0, 1}
+    assert evals[0] == evals[1], f"eval diverged: {evals}"
+    assert evals[0][0] == "16", f"eval covered {evals[0][0]} of 16 images"
 
 
 def test_quantized_detect_sharded_equals_single_device():
