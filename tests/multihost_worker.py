@@ -114,7 +114,11 @@ from shape_based_object_detection_tpu.eval import Evaluator
 
 eval_step = train_lib.make_eval_step(module, anchors, cfg,
                                      out_sharding=rshard)
-eval_loader = Loader(ds, per_host, cfg.data.max_boxes, shuffle=False,
+# 18 images -> 9 per host -> 4 full batches + a PADDED TAIL (n_valid=1 on
+# every host): exercises the tail alignment of the sharded-eval collective
+ds_eval = SyntheticDetection(size=model_cfg.image_size, num_images=18,
+                             num_classes=model_cfg.num_classes)
+eval_loader = Loader(ds_eval, per_host, cfg.data.max_boxes, shuffle=False,
                      host_id=proc_id, num_hosts=nproc)
 ev = Evaluator(area_scale=model_cfg.image_size)
 n_images = 0

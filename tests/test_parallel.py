@@ -191,7 +191,8 @@ def test_two_process_distributed_train_step(tmp_path):
     # compute the identical metric (replicated output + allgathered GT)
     assert set(evals) == {0, 1}
     assert evals[0] == evals[1], f"eval diverged: {evals}"
-    assert evals[0][0] == "16", f"eval covered {evals[0][0]} of 16 images"
+    # 18 images over 2 hosts = 9/host = 4 full batches + a padded tail of 1
+    assert evals[0][0] == "18", f"eval covered {evals[0][0]} of 18 images"
 
 
 def test_quantized_detect_sharded_equals_single_device():
