@@ -24,12 +24,15 @@ def build_dataset(cfg, args, include_ignore: bool = False):
 
     size = cfg.model.image_size
     lb = cfg.data.letterbox
+    dec = cfg.data.decode_backend
     if args.data_root and cfg.data.dataset == "voc":
         return VOCDetection(args.data_root, split=args.split, image_size=size,
-                            letterbox=lb, include_difficult=include_ignore)
+                            letterbox=lb, include_difficult=include_ignore,
+                            decode_backend=dec)
     if args.data_root and cfg.data.dataset == "coco":
         return CocoDetection(args.data_root, args.ann_file, image_size=size,
-                             letterbox=lb, include_crowd=include_ignore)
+                             letterbox=lb, include_crowd=include_ignore,
+                             decode_backend=dec)
     return SyntheticDetection(size=size, num_images=max(64, cfg.data.batch_size * 4),
                               num_classes=cfg.model.num_classes)
 

@@ -38,7 +38,8 @@ _LOCK_STALE_S = 600.0
 # synthetic-generator parameters. Probed with getattr so each dataset type
 # contributes only the knobs it has.
 _IDENTITY_ATTRS = ("root", "split", "ann_file", "include_difficult",
-                   "include_crowd", "seed", "num_classes", "num_images")
+                   "include_crowd", "seed", "num_classes", "num_images",
+                   "decode_backend")
 
 
 def _source_fingerprint(dataset, max_boxes: int) -> dict:

@@ -66,11 +66,19 @@ class CocoDetection:
     each sample; training leaves it False so crowds never become positives."""
 
     def __init__(self, root: str, ann_file: str, image_size: int = 512,
-                 letterbox: bool = False, include_crowd: bool = False):
+                 letterbox: bool = False, include_crowd: bool = False,
+                 decode_backend: str = "auto"):
+        from shape_based_object_detection_tpu.utils.image import (
+            effective_decode_backend,
+        )
+
         self.root = root
         self.image_size = image_size
         self.letterbox = letterbox
         self.include_crowd = include_crowd
+        # resolved ("native"/"pil") so the sample-cache fingerprint keys on
+        # the pixels actually produced, not on "auto"
+        self.decode_backend = effective_decode_backend(decode_backend)
         self.coco = CocoAnnotations(ann_file)
         # keep only images that exist on disk (partial mounts are common)
         self.images = [
@@ -83,24 +91,20 @@ class CocoDetection:
 
     def __getitem__(self, i: int):
         from shape_based_object_detection_tpu.utils.image import (
-            boxes_px_to_input_norm, decode_image_host, letterbox_image_host,
+            boxes_px_to_input_norm, load_resized_image_host,
         )
-        from PIL import Image
 
         im = self.images[i]
-        img = decode_image_host(os.path.join(self.root, im["file_name"]))
+        img, _, _ = load_resized_image_host(
+            os.path.join(self.root, im["file_name"]),
+            self.image_size, self.letterbox, backend=self.decode_backend)
+        # box normalization uses the annotation-declared dims (pycocotools
+        # convention), not the decoded dims
         h, w = im["height"], im["width"]
         ann = self.coco.boxes_for_image(im["id"],
                                         include_crowd=self.include_crowd)
         boxes_px, labels = ann[0], ann[1]
         boxes = boxes_px_to_input_norm(boxes_px, h, w, self.letterbox)
-        s = self.image_size
-        if self.letterbox:
-            img = letterbox_image_host(img, s)
-        else:
-            img = np.asarray(
-                Image.fromarray(img).resize((s, s), Image.BILINEAR), np.uint8
-            )
         # (boxes_px_to_input_norm already clips to the canvas)
         if self.include_crowd:
             return img, boxes, labels, ann[2]

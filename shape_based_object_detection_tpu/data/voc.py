@@ -73,11 +73,18 @@ class VOCDetection:
     def __init__(self, root: str, split: str = "train", image_size: int = 300,
                  include_difficult: bool = False,
                  ids: Sequence[str] | None = None,
-                 letterbox: bool = False):
+                 letterbox: bool = False, decode_backend: str = "auto"):
+        from shape_based_object_detection_tpu.utils.image import (
+            effective_decode_backend,
+        )
+
         self.root = root
         self.image_size = image_size
         self.include_difficult = include_difficult
         self.letterbox = letterbox
+        # resolved ("native"/"pil") so the sample-cache fingerprint keys on
+        # the pixels actually produced, not on "auto"
+        self.decode_backend = effective_decode_backend(decode_backend)
         if ids is not None:
             self.ids: List[str] = list(ids)
         else:
@@ -90,24 +97,20 @@ class VOCDetection:
 
     def __getitem__(self, i: int):
         from shape_based_object_detection_tpu.utils.image import (
-            boxes_px_to_input_norm, decode_image_host, letterbox_image_host,
+            boxes_px_to_input_norm, load_resized_image_host,
         )
-        from PIL import Image
 
         img_id = self.ids[i]
-        img = decode_image_host(os.path.join(self.root, "JPEGImages", f"{img_id}.jpg"))
+        img, _, _ = load_resized_image_host(
+            os.path.join(self.root, "JPEGImages", f"{img_id}.jpg"),
+            self.image_size, self.letterbox, backend=self.decode_backend)
+        # box normalization uses the XML-declared dims (family convention),
+        # not the decoded dims
         boxes_px, labels, (h, w), difficult = parse_voc_xml(
             os.path.join(self.root, "Annotations", f"{img_id}.xml"),
             keep_difficult=self.include_difficult,
         )
         boxes = boxes_px_to_input_norm(boxes_px, h, w, self.letterbox)
-        s = self.image_size
-        if self.letterbox:
-            img = letterbox_image_host(img, s)
-        else:
-            img = np.asarray(
-                Image.fromarray(img).resize((s, s), Image.BILINEAR), np.uint8
-            )
         if self.include_difficult:
             return img, boxes, labels, difficult
         return img, boxes, labels

@@ -122,3 +122,55 @@ def decode_image_host(path_or_bytes) -> np.ndarray:
     else:
         img = Image.open(path_or_bytes)
     return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def effective_decode_backend(backend: str = "auto") -> str:
+    """Resolve a DataConfig.decode_backend value to what will actually run
+    on this host: "native" (csrc/jpeg_decoder.cpp built and loadable) or
+    "pil". The resolved value participates in the sample-cache fingerprint —
+    the two backends produce slightly different pixels (DCT-domain prescale
+    vs full decode), so caches must not be shared across them."""
+    if backend == "pil":
+        return "pil"
+    if backend not in ("auto", "native"):
+        raise ValueError(f"decode_backend must be auto|native|pil: {backend!r}")
+    from shape_based_object_detection_tpu.utils.native import load_image_lib
+
+    return "native" if load_image_lib() is not None else "pil"
+
+
+def load_resized_image_host(path_or_bytes, size: int, letterbox: bool = False,
+                            backend: str = "auto"):
+    """Fused host decode + resize -> ((S, S, 3) uint8, orig_h, orig_w).
+
+    JPEG inputs take the first-party C path (csrc/jpeg_decoder.cpp: libjpeg
+    DCT-domain prescale + PIL-equivalent triangle resample, GIL released)
+    unless ``backend="pil"``; PNG/other formats and any bytes the C path
+    rejects fall back to PIL + :func:`letterbox_image_host` / square
+    BILINEAR resize. This is the per-sample hot path of every dataset
+    (SURVEY.md §2 C4: the reference's host work is PIL/libjpeg decode)."""
+    data = None
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    elif backend != "pil":
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    if backend != "pil" and data is not None and data[:2] == b"\xff\xd8":
+        from shape_based_object_detection_tpu.utils.native import (
+            decode_jpeg_resize_native,
+        )
+
+        r = decode_jpeg_resize_native(data, size, letterbox)
+        if r is not None:
+            return r
+    from PIL import Image
+
+    img = decode_image_host(data if data is not None else path_or_bytes)
+    h, w = img.shape[:2]
+    if letterbox:
+        out = letterbox_image_host(img, size)
+    else:
+        out = np.asarray(
+            Image.fromarray(img).resize((size, size), Image.BILINEAR),
+            np.uint8)
+    return out, h, w

@@ -26,20 +26,26 @@ _CSRC = os.path.join(
 _SO = os.path.join(_CSRC, "libap_matcher.so")
 
 
-def _build() -> bool:
-    src = os.path.join(_CSRC, "ap_matcher.cpp")
+def _build_lib(src_name: str, so_path: str, extra: tuple = ()) -> bool:
+    src = os.path.join(_CSRC, src_name)
     if not os.path.exists(src):
         return False
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+    if os.path.exists(so_path) and (
+            os.path.getmtime(so_path) >= os.path.getmtime(src)):
         return True
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, src],
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             "-o", so_path, src, *extra],
             check=True, capture_output=True, timeout=120,
         )
         return True
     except (subprocess.SubprocessError, FileNotFoundError):
         return False
+
+
+def _build() -> bool:
+    return _build_lib("ap_matcher.cpp", _SO)
 
 
 def load_ap_matcher() -> Optional[ctypes.CDLL]:
@@ -154,3 +160,64 @@ def match_class_strata_native(
         uptr(tp), uptr(ig),
     )
     return tp, ig
+
+
+# ---------------------------------------------------------------------------
+# Fused JPEG decode + resize (csrc/jpeg_decoder.cpp). TPU-native equivalent
+# of the reference family's PIL/libjpeg host path (SURVEY.md §2 native-deps
+# table): DCT-domain prescale + triangle resample in one C call, released-GIL
+# so the Loader's thread pool gets real decode parallelism.
+
+_IMG_LOCK = threading.Lock()
+_IMG_LIB: Optional[ctypes.CDLL] = None
+_IMG_TRIED = False
+_IMG_SO = os.path.join(_CSRC, "libsbd_image.so")
+
+
+def load_image_lib() -> Optional[ctypes.CDLL]:
+    global _IMG_LIB, _IMG_TRIED
+    with _IMG_LOCK:
+        if _IMG_TRIED:
+            return _IMG_LIB
+        _IMG_TRIED = True
+        if not _build_lib("jpeg_decoder.cpp", _IMG_SO, ("-ljpeg",)):
+            return None
+        try:
+            lib = ctypes.CDLL(_IMG_SO)
+        except OSError:
+            return None
+        lib.sbd_decode_jpeg_resize.restype = ctypes.c_int
+        lib.sbd_decode_jpeg_resize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        _IMG_LIB = lib
+        return _IMG_LIB
+
+
+def decode_jpeg_resize_native(
+    data: bytes, out_size: int, letterbox: bool
+) -> Optional[tuple]:
+    """Fused JPEG decode + resize -> ((S, S, 3) uint8, orig_h, orig_w), or
+    None when the library is unavailable or the bytes don't decode (caller
+    falls back to the PIL path). Semantics match the PIL path in
+    utils/image.py: square BILINEAR resize, or letterbox_image_host's
+    top-left content + zero bottom/right padding."""
+    lib = load_image_lib()
+    if lib is None:
+        return None
+    out = np.empty((out_size, out_size, 3), np.uint8)
+    ow = ctypes.c_int32(0)
+    oh = ctypes.c_int32(0)
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    rc = lib.sbd_decode_jpeg_resize(
+        ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+        len(data), out_size, 1 if letterbox else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(ow), ctypes.byref(oh),
+    )
+    if rc != 0:
+        return None
+    return out, int(oh.value), int(ow.value)

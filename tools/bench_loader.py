@@ -38,9 +38,11 @@ class JpegFolderDetection:
     """Minimal dataset with the real host cost profile: JPEG decode +
     BILINEAR resize per sample (what VOC/COCO-backed training pays)."""
 
-    def __init__(self, root: str, n: int, size: int):
+    def __init__(self, root: str, n: int, size: int,
+                 decode_backend: str = "auto"):
         self.paths = [os.path.join(root, f"{i}.jpg") for i in range(n)]
         self.size = size
+        self.decode_backend = decode_backend
         self.boxes = np.asarray([[0.2, 0.2, 0.8, 0.8]], np.float32)
         self.labels = np.asarray([1], np.int32)
 
@@ -48,16 +50,12 @@ class JpegFolderDetection:
         return len(self.paths)
 
     def __getitem__(self, i):
-        from PIL import Image
-
         from shape_based_object_detection_tpu.utils.image import (
-            decode_image_host,
+            load_resized_image_host,
         )
 
-        img = decode_image_host(self.paths[i])
-        img = np.asarray(
-            Image.fromarray(img).resize((self.size, self.size),
-                                        Image.BILINEAR), np.uint8)
+        img, _, _ = load_resized_image_host(
+            self.paths[i], self.size, backend=self.decode_backend)
         return img, self.boxes, self.labels
 
 
@@ -81,6 +79,9 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--variants", default="threads,grain,cache")
+    p.add_argument("--decode-backend", default="auto",
+                   choices=["auto", "native", "pil"],
+                   help="host JPEG decode path (DataConfig.decode_backend)")
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -104,7 +105,8 @@ def main(argv=None):
                 img + rng.integers(0, 30, img.shape, dtype=np.uint8), 0, 255)
             Image.fromarray(img).save(os.path.join(tmp, f"{i}.jpg"),
                                       quality=90)
-        ds = JpegFolderDetection(tmp, args.images, args.size)
+        ds = JpegFolderDetection(tmp, args.images, args.size,
+                                 decode_backend=args.decode_backend)
 
         results = {}
         variants = args.variants.split(",")
@@ -130,7 +132,8 @@ def main(argv=None):
                 "value": round(v, 1),
                 "unit": "images/sec" if not k.endswith("_s") else "sec",
                 "config": {"images": args.images, "size": args.size,
-                           "batch": args.batch, "workers": args.workers},
+                           "batch": args.batch, "workers": args.workers,
+                           "decode_backend": args.decode_backend},
             }))
 
 
