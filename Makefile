@@ -23,9 +23,11 @@ export:
 	python tools/export_model.py --config config2_retinanet_r50_infer \
 		--quantize --dtype bfloat16 --out /tmp/r50.sbdx
 
-# rebuild the native AP matcher (csrc/libap_matcher.so)
+# rebuild the native libs (AP matcher + fused JPEG decode); utils/native.py
+# also builds these on demand at first use
 native:
-	g++ -O3 -shared -fPIC -o csrc/libap_matcher.so csrc/ap_matcher.cpp
+	g++ -O3 -std=c++17 -shared -fPIC -o csrc/libap_matcher.so csrc/ap_matcher.cpp
+	g++ -O3 -std=c++17 -shared -fPIC -o csrc/libsbd_image.so csrc/jpeg_decoder.cpp -ljpeg
 
 # wiring check without executing anything heavy
 lint:

@@ -150,7 +150,61 @@ def main() -> None:
     }))
 
 
+def _probe_backend(timeout_s: float = 120.0) -> bool:
+    """True if a fresh backend client comes up within timeout_s.
+
+    The tunneled axon runtime's known failure mode is an indefinite hang
+    inside make_c_api_client — not an exception — so a hung main process
+    would never reach the retry below. Probing in a subprocess bounds it."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _start_watchdog(budget_s: float) -> None:
+    """Hard-exit if the bench has not finished within budget_s (a client
+    that hangs AFTER the probe succeeded). Cold compile over the tunnel is
+    5-9 min, so the budget must comfortably exceed that."""
+    import threading
+
+    def fire():
+        import sys
+
+        sys.stderr.write(
+            f"bench.py watchdog: no result after {budget_s:.0f}s — the TPU "
+            "tunnel is wedged mid-run (known axon failure mode); aborting "
+            "so the caller gets a fast, diagnosable failure.\n")
+        sys.stderr.flush()
+        os._exit(3)
+
+    t = threading.Timer(budget_s, fire)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
+    import sys
+
+    for attempt in range(3):
+        if _probe_backend():
+            break
+        if attempt < 2:
+            time.sleep(60)  # transient tunnel blips recover within minutes
+    else:
+        sys.stderr.write(
+            "bench.py: TPU backend unavailable — a fresh client failed to "
+            "initialize within 120s on 3 probes over ~6 min (known tunnel "
+            "hang, see STATUS.md 'Infra flakiness'). No measurement taken; "
+            "re-run when `python -c 'import jax; jax.devices()'` responds.\n")
+        sys.exit(2)
+    _start_watchdog(1200.0)
     try:
         main()
     except Exception:  # the tunneled TPU worker occasionally crashes/restarts

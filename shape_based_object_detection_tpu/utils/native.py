@@ -33,15 +33,28 @@ def _build_lib(src_name: str, so_path: str, extra: tuple = ()) -> bool:
     if os.path.exists(so_path) and (
             os.path.getmtime(so_path) >= os.path.getmtime(src)):
         return True
+    # Compile to a per-process temp path and atomically rename: concurrent
+    # builders (e.g. grain worker processes all importing on a cold tree)
+    # must never dlopen a half-written .so.
+    tmp = f"{so_path}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-             "-o", so_path, src, *extra],
+             "-o", tmp, src, *extra],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so_path)
         return True
     except (subprocess.SubprocessError, FileNotFoundError):
-        return False
+        # another process may have won the race with a good build
+        return os.path.exists(so_path) and (
+            os.path.getmtime(so_path) >= os.path.getmtime(src))
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _build() -> bool:
