@@ -204,7 +204,10 @@ if __name__ == "__main__":
             "hang, see STATUS.md 'Infra flakiness'). No measurement taken; "
             "re-run when `python -c 'import jax; jax.devices()'` responds.\n")
         sys.exit(2)
-    _start_watchdog(1200.0)
+    # budget: cold compile over the tunnel is 5-9 min and a worker-crash
+    # retry re-runs main() (warm, 1-4 min) — 30 min covers the worst
+    # legitimate path while still bounding a wedged run
+    _start_watchdog(1800.0)
     try:
         main()
     except Exception:  # the tunneled TPU worker occasionally crashes/restarts
