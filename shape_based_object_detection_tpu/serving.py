@@ -28,20 +28,29 @@ class Detection:
     labels: np.ndarray  # (K,) 0-based foreground class ids
 
 
-def prepare_batch(images: Sequence[np.ndarray], size: int, batch_size: int,
+def prepare_batch(images: Sequence, size: int, batch_size: int,
                   letterbox: bool = False) -> Tuple[np.ndarray, list]:
     """Resize (BILINEAR, the filter used across all serving paths) and
     zero-pad a request of <= batch_size images to the compiled batch shape.
     ``letterbox=True`` preserves aspect (pad bottom/right) instead of the
-    square resize. Returns (batch (B,S,S,3) uint8, original (h, w) sizes)."""
+    square resize. Each item may be a decoded (H, W, 3) uint8 array, a file
+    path, or encoded image bytes — path/bytes JPEGs take the fused native
+    decode+resize (csrc/jpeg_decoder.cpp, DCT-domain prescale; the fast
+    serving ingest). Returns (batch (B,S,S,3) uint8, original (h, w) sizes)."""
     from PIL import Image
 
-    from shape_based_object_detection_tpu.utils.image import letterbox_image_host
+    from shape_based_object_detection_tpu.utils.image import (
+        letterbox_image_host, load_resized_image_host,
+    )
 
     assert len(images) <= batch_size
     batch = np.zeros((batch_size, size, size, 3), np.uint8)
     sizes = []
     for i, img in enumerate(images):
+        if not isinstance(img, np.ndarray):
+            batch[i], h, w = load_resized_image_host(img, size, letterbox)
+            sizes.append((h, w))
+            continue
         h, w = img.shape[:2]
         sizes.append((h, w))
         if letterbox:
@@ -97,7 +106,7 @@ class Predictor:
             module, anchors, cfg.model, cfg.data, self.variables, quantize)
         self._pending: Optional[Tuple] = None
 
-    def submit(self, images: Sequence[np.ndarray]) -> None:
+    def submit(self, images: Sequence) -> None:
         """Dispatch a batch without blocking (device runs while host works)."""
         assert self._pending is None, "poll() the previous batch first"
         batch, sizes = prepare_batch(images, self.size, self.batch_size,
@@ -112,7 +121,7 @@ class Predictor:
         self._pending = None
         return unpack_detections(det, sizes, self.min_score, self.letterbox)
 
-    def predict(self, images: Sequence[np.ndarray]) -> List[Detection]:
+    def predict(self, images: Sequence) -> List[Detection]:
         """Any request size: runs ceil(len/batch_size) compiled batches,
         PIPELINED — chunk i+1's host prepare/dispatch happens before chunk
         i's blocking readback, so host prep overlaps device execution
@@ -148,7 +157,7 @@ class ArtifactPredictor:
         self.batch_size = self._model.header["batch_size"]
         self.letterbox = bool(self._model.header.get("letterbox", False))
 
-    def predict(self, images: Sequence[np.ndarray]) -> List[Detection]:
+    def predict(self, images: Sequence) -> List[Detection]:
         # same prepare->dispatch->readback pipeline as Predictor.predict
         out: List[Detection] = []
         pending = None

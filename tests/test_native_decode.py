@@ -157,6 +157,31 @@ def test_loader_helper_accepts_bytes():
     assert out.shape == (32, 32, 3) and (h, w) == (100, 100)
 
 
+def test_prepare_batch_accepts_paths_and_bytes(tmp_path):
+    """serving.prepare_batch routes path/bytes items through the fused
+    decode; results match feeding the pre-decoded array within decode
+    tolerance, and sizes are the original dims."""
+    from shape_based_object_detection_tpu.serving import prepare_batch
+
+    img = _photo(180, 240, seed=10)
+    p = str(tmp_path / "a.jpg")
+    Image.fromarray(img).save(p, quality=92)
+    decoded = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+    data = open(p, "rb").read()
+
+    batch, sizes = prepare_batch([p, data, decoded], 96, 4)
+    assert batch.shape == (4, 96, 96, 3)
+    assert sizes == [(180, 240)] * 3
+    assert (batch[3] == 0).all()  # padding slot untouched
+    for i in range(2):
+        d = np.abs(batch[i].astype(np.int32) - batch[2].astype(np.int32))
+        assert d.mean() < 3.0, (i, d.mean())
+    # letterbox mode: bottom padding zero for a wide image
+    batch_lb, sizes_lb = prepare_batch([p], 96, 1, letterbox=True)
+    nh = round(180 * 96 / 240)
+    assert sizes_lb == [(180, 240)] and (batch_lb[0, nh:] == 0).all()
+
+
 def test_effective_decode_backend_values():
     assert effective_decode_backend("pil") == "pil"
     r = effective_decode_backend("auto")
