@@ -195,23 +195,28 @@ int sbd_decode_jpeg_resize(const uint8_t* data, int len, int out_size,
   if (letterbox) {
     memset(out, 0, static_cast<size_t>(out_size) * out_size * 3);
   }
+  // Vertical pass as row-wise AXPY: accumulate whole source rows into one
+  // contiguous accumulator (sequential streams the compiler vectorizes),
+  // instead of per-pixel tap loads striding cw*3 floats apart (a cache
+  // miss per tap, which made large-source resizes slower than PIL).
+  const int rowlen = cw * 3;
+  std::vector<float> acc(static_cast<size_t>(rowlen));
   for (int y = 0; y < ch; ++y) {
     const int y0 = yb[y * 2], yn = yb[y * 2 + 1];
     const float* wcol = yw.data() + static_cast<size_t>(y) * ky;
-    uint8_t* dst = out + static_cast<size_t>(y) * out_size * 3;
-    for (int x = 0; x < cw; ++x) {
-      float r = 0.0f, g = 0.0f, b = 0.0f;
-      for (int j = 0; j < yn; ++j) {
-        const float* p =
-            hbuf.data() + (static_cast<size_t>(y0 + j) * cw + x) * 3;
-        const float wj = wcol[j];
-        r += wj * p[0];
-        g += wj * p[1];
-        b += wj * p[2];
+    float* a = acc.data();
+    memset(a, 0, static_cast<size_t>(rowlen) * sizeof(float));
+    for (int j = 0; j < yn; ++j) {
+      const float wj = wcol[j];
+      const float* srcrow =
+          hbuf.data() + static_cast<size_t>(y0 + j) * rowlen;
+      for (int k = 0; k < rowlen; ++k) {
+        a[k] += wj * srcrow[k];
       }
-      dst[x * 3 + 0] = clamp_u8(r);
-      dst[x * 3 + 1] = clamp_u8(g);
-      dst[x * 3 + 2] = clamp_u8(b);
+    }
+    uint8_t* dst = out + static_cast<size_t>(y) * out_size * 3;
+    for (int k = 0; k < rowlen; ++k) {
+      dst[k] = clamp_u8(a[k]);
     }
   }
   return 0;

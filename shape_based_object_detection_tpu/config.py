@@ -133,12 +133,13 @@ class DataConfig:
     letterbox: bool = False
     # Host JPEG decode backend: "auto" uses the first-party fused
     # decode+resize C path (csrc/jpeg_decoder.cpp — libjpeg DCT-domain
-    # prescale + triangle resample, ~2.4x PIL single-thread) when it builds,
-    # falling back to PIL; "pil" forces the PIL path (bit-exact with the
-    # family's PIL preprocessing); "native" asserts the C path is intended
-    # (still PIL for non-JPEG files). The resolved backend participates in
-    # the sample-cache fingerprint — the two produce slightly different
-    # pixels.
+    # prescale + streaming triangle resample; measured 1.2x PIL
+    # single-thread at 500px sources -> 300, 1.7x at 640px -> 512, 2.3x at
+    # 1600px -> 512) when it builds, falling back to PIL; "pil" forces the
+    # PIL path (bit-exact with the family's PIL preprocessing); "native"
+    # asserts the C path is intended (still PIL for non-JPEG files). The
+    # resolved backend participates in the sample-cache fingerprint — the
+    # two produce slightly different pixels.
     decode_backend: str = "auto"
     # On-device augmentation toggles (component C4)
     hflip: bool = True
