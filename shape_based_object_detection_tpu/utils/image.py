@@ -136,7 +136,16 @@ def effective_decode_backend(backend: str = "auto") -> str:
         raise ValueError(f"decode_backend must be auto|native|pil: {backend!r}")
     from shape_based_object_detection_tpu.utils.native import load_image_lib
 
-    return "native" if load_image_lib() is not None else "pil"
+    if load_image_lib() is not None:
+        return "native"
+    if backend == "native":
+        # "native" is an assertion that the C path runs — a silent PIL
+        # fallback here would quietly change pixels (and the cache key)
+        raise RuntimeError(
+            "decode_backend='native' but csrc/jpeg_decoder.cpp did not "
+            "build/load (needs g++ and libjpeg); use 'auto' to allow the "
+            "PIL fallback")
+    return "pil"
 
 
 def load_resized_image_host(path_or_bytes, size: int, letterbox: bool = False,

@@ -188,8 +188,22 @@ def test_effective_decode_backend_values():
     assert r in ("native", "pil")
     if load_image_lib() is not None:
         assert r == "native"
+        # "native" is an assertion, honored when the lib is present
+        assert effective_decode_backend("native") == "native"
     with pytest.raises(ValueError):
         effective_decode_backend("turbo")
+
+
+def test_native_backend_fails_loud_without_lib(monkeypatch):
+    """decode_backend='native' must raise (not silently fall back to PIL)
+    when the C library is unavailable."""
+    import shape_based_object_detection_tpu.utils.image as image_mod
+    import shape_based_object_detection_tpu.utils.native as native_mod
+
+    monkeypatch.setattr(native_mod, "load_image_lib", lambda: None)
+    assert image_mod.effective_decode_backend("auto") == "pil"
+    with pytest.raises(RuntimeError, match="decode_backend='native'"):
+        image_mod.effective_decode_backend("native")
 
 
 def test_dataset_backends_agree(tmp_path):
