@@ -125,6 +125,35 @@ def test_spatial_sharding_equals_single_device(dp_setup):
                                rtol=1e-4)
 
 
+def test_spatial_sharded_detect_equals_single_device(dp_setup):
+    """Inference under a hybrid DP x spatial mesh (image rows over 'model'):
+    the SAME jitted detect() program on sharded inputs must reproduce the
+    single-device detections — the multi-chip serving configuration for
+    large-resolution models (GSPMD halo exchange through the conv stack,
+    global candidate selection across row shards)."""
+    from shape_based_object_detection_tpu.detection import make_detect_fn
+    from shape_based_object_detection_tpu.parallel import spatial_image_sharding
+
+    cfg, module, variables, anchors, _ = dp_setup
+    detect = make_detect_fn(module, anchors, cfg.model, cfg.data)
+    images = _batch(cfg, 4)["images"]
+
+    det1 = detect(variables, jnp.asarray(images))
+
+    mesh_cfg = config_lib.MeshConfig(model_parallelism=4)
+    mesh = make_mesh(cfg=mesh_cfg)  # (2 data, 4 model)
+    vars_r = jax.device_put(variables, replicated_sharding(mesh))
+    imgs_s = jax.device_put(images, spatial_image_sharding(mesh, mesh_cfg))
+    det2 = detect(vars_r, imgs_s)
+
+    np.testing.assert_array_equal(np.asarray(det1.valid), np.asarray(det2.valid))
+    np.testing.assert_array_equal(np.asarray(det1.labels), np.asarray(det2.labels))
+    np.testing.assert_allclose(np.asarray(det1.scores), np.asarray(det2.scores),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(det1.boxes), np.asarray(det2.boxes),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_graft_entry_dryrun():
     """The driver's multichip dry-run must work on the virtual CPU mesh."""
     import sys, os
