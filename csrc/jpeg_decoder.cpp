@@ -91,13 +91,30 @@ extern "C" {
 // pre-resize image dimensions to *orig_w / *orig_h.
 // Returns 0 on success; 1 on any libjpeg decode error (caller falls back
 // to the PIL path); 2 on bad arguments.
+namespace {
+int decode_impl(const uint8_t* data, int len, int out_size, int letterbox,
+                uint8_t* out, int* orig_w, int* orig_h);
+}
+
 int sbd_decode_jpeg_resize(const uint8_t* data, int len, int out_size,
                            int letterbox, uint8_t* out, int* orig_w,
                            int* orig_h) {
   if (data == nullptr || out == nullptr || len < 4 || out_size <= 0) {
     return 2;
   }
+  // C++ exceptions (std::bad_alloc from the buffer vectors on a hostile
+  // header) must not cross the C ABI into ctypes — that would be
+  // std::terminate, not the rc=1 PIL fallback.
+  try {
+    return decode_impl(data, len, out_size, letterbox, out, orig_w, orig_h);
+  } catch (...) {
+    return 1;
+  }
+}
 
+namespace {
+int decode_impl(const uint8_t* data, int len, int out_size, int letterbox,
+                uint8_t* out, int* orig_w, int* orig_h) {
   jpeg_decompress_struct cinfo;
   ErrMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
@@ -112,12 +129,23 @@ int sbd_decode_jpeg_resize(const uint8_t* data, int len, int out_size,
   std::vector<int> xb, yb;
   std::vector<float> xw, yw;
 
+  // RAII: destroy the decompressor on EVERY exit (normal return, setjmp
+  // error path, or a C++ exception unwinding to the caller's catch) so
+  // libjpeg's heap pools never leak in a long-lived serving process.
+  struct CinfoGuard {
+    jpeg_decompress_struct* c;
+    bool armed = false;
+    ~CinfoGuard() {
+      if (armed) jpeg_destroy_decompress(c);
+    }
+  } guard{&cinfo};
+
   if (setjmp(err.jb)) {
-    jpeg_destroy_decompress(&cinfo);
     return 1;
   }
 
   jpeg_create_decompress(&cinfo);
+  guard.armed = true;
   jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
                static_cast<unsigned long>(len));
   jpeg_read_header(&cinfo, TRUE);
@@ -125,7 +153,6 @@ int sbd_decode_jpeg_resize(const uint8_t* data, int len, int out_size,
   const int w = static_cast<int>(cinfo.image_width);
   const int h = static_cast<int>(cinfo.image_height);
   if (w <= 0 || h <= 0) {
-    jpeg_destroy_decompress(&cinfo);
     return 1;
   }
   if (orig_w != nullptr) *orig_w = w;
@@ -159,13 +186,21 @@ int sbd_decode_jpeg_resize(const uint8_t* data, int len, int out_size,
   const int dw = static_cast<int>(cinfo.output_width);
   const int dh = static_cast<int>(cinfo.output_height);
   const size_t stride = static_cast<size_t>(dw) * 3;
+  // Bound transient memory against hostile headers (e.g. a few-KB file
+  // declaring 30x65500: hbuf alone would be ~400 MB). Real photos stay far
+  // under this; oversized ones fall back to PIL.
+  const size_t need = static_cast<size_t>(dh) * stride +
+                      static_cast<size_t>(dh) * cw * 3 * sizeof(float);
+  if (need > (256u << 20)) {
+    return 1;
+  }
   decoded.resize(static_cast<size_t>(dh) * stride);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = decoded.data() + cinfo.output_scanline * stride;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
-  jpeg_destroy_decompress(&cinfo);
+  // (CinfoGuard destroys the decompressor on return)
 
   // Separable resample (dh, dw) -> (ch, cw): horizontal into float, then
   // vertical straight into the output canvas.
@@ -221,5 +256,6 @@ int sbd_decode_jpeg_resize(const uint8_t* data, int len, int out_size,
   }
   return 0;
 }
+}  // namespace
 
 }  // extern "C"

@@ -29,14 +29,16 @@ class Detection:
 
 
 def prepare_batch(images: Sequence, size: int, batch_size: int,
-                  letterbox: bool = False) -> Tuple[np.ndarray, list]:
+                  letterbox: bool = False,
+                  decode_backend: str = "auto") -> Tuple[np.ndarray, list]:
     """Resize (BILINEAR, the filter used across all serving paths) and
     zero-pad a request of <= batch_size images to the compiled batch shape.
     ``letterbox=True`` preserves aspect (pad bottom/right) instead of the
     square resize. Each item may be a decoded (H, W, 3) uint8 array, a file
     path, or encoded image bytes — path/bytes JPEGs take the fused native
     decode+resize (csrc/jpeg_decoder.cpp, DCT-domain prescale; the fast
-    serving ingest). Returns (batch (B,S,S,3) uint8, original (h, w) sizes)."""
+    serving ingest) unless ``decode_backend='pil'`` (DataConfig semantics).
+    Returns (batch (B,S,S,3) uint8, original (h, w) sizes)."""
     from PIL import Image
 
     from shape_based_object_detection_tpu.utils.image import (
@@ -48,7 +50,8 @@ def prepare_batch(images: Sequence, size: int, batch_size: int,
     sizes = []
     for i, img in enumerate(images):
         if not isinstance(img, np.ndarray):
-            batch[i], h, w = load_resized_image_host(img, size, letterbox)
+            batch[i], h, w = load_resized_image_host(
+                img, size, letterbox, backend=decode_backend)
             sizes.append((h, w))
             continue
         h, w = img.shape[:2]
@@ -96,6 +99,14 @@ class Predictor:
         self.min_score = min_score
         self.size = cfg.model.image_size
         self.letterbox = cfg.data.letterbox
+        from shape_based_object_detection_tpu.utils.image import (
+            effective_decode_backend,
+        )
+
+        # resolved once ("native"/"pil"; "native" fails loud if the C lib
+        # can't build) so serving honors DataConfig.decode_backend
+        self.decode_backend = effective_decode_backend(
+            cfg.data.decode_backend)
         module, init_vars, anchors = build_model(cfg.model)
         self.variables = variables if variables is not None else init_vars
         from shape_based_object_detection_tpu.quantize import (
@@ -110,7 +121,7 @@ class Predictor:
         """Dispatch a batch without blocking (device runs while host works)."""
         assert self._pending is None, "poll() the previous batch first"
         batch, sizes = prepare_batch(images, self.size, self.batch_size,
-                                     self.letterbox)
+                                     self.letterbox, self.decode_backend)
         det = self._detect(self.variables, jnp.asarray(batch))  # async
         self._pending = (det, sizes)
 
@@ -132,7 +143,8 @@ class Predictor:
         for i in range(0, len(images), self.batch_size):
             batch, sizes = prepare_batch(images[i:i + self.batch_size],
                                          self.size, self.batch_size,
-                                         self.letterbox)
+                                         self.letterbox,
+                                         self.decode_backend)
             det = self._detect(self.variables, jnp.asarray(batch))  # async
             if pending is not None:
                 out.extend(unpack_detections(*pending, self.min_score,
@@ -156,6 +168,7 @@ class ArtifactPredictor:
         self.size = self._model.header["image_size"]
         self.batch_size = self._model.header["batch_size"]
         self.letterbox = bool(self._model.header.get("letterbox", False))
+        self.decode_backend = "auto"  # artifact headers predate the knob
 
     def predict(self, images: Sequence) -> List[Detection]:
         # same prepare->dispatch->readback pipeline as Predictor.predict
@@ -164,7 +177,8 @@ class ArtifactPredictor:
         for i in range(0, len(images), self.batch_size):
             chunk = images[i:i + self.batch_size]
             batch, sizes = prepare_batch(chunk, self.size, self.batch_size,
-                                         self.letterbox)
+                                         self.letterbox,
+                                         self.decode_backend)
             det = self._model(batch)  # async dispatch
             if pending is not None:
                 out.extend(unpack_detections(*pending, self.min_score,

@@ -224,9 +224,11 @@ def decode_jpeg_resize_native(
     out = np.empty((out_size, out_size, 3), np.uint8)
     ow = ctypes.c_int32(0)
     oh = ctypes.c_int32(0)
-    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    # zero-copy: the C side only reads, so pass the immutable bytes object
+    # directly instead of memcpy'ing every compressed file on the hot path
+    buf = ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8))
     rc = lib.sbd_decode_jpeg_resize(
-        ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+        buf,
         len(data), out_size, 1 if letterbox else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.byref(ow), ctypes.byref(oh),

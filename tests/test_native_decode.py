@@ -143,6 +143,35 @@ def test_native_survives_corrupted_jpegs():
 
 
 @needs_native
+def test_native_rejects_hostile_dims():
+    """A few-KB file declaring 30x65500 would need ~400 MB of resample
+    buffer; the C path must reject it (PIL fallback) instead of allocating
+    or terminating on bad_alloc."""
+    b = io.BytesIO()
+    Image.fromarray(np.zeros((16, 16), np.uint8), "L").save(b, "JPEG")
+    data = bytearray(b.getvalue())
+    i = bytes(data).find(b"\xff\xc0")  # SOF0: patch declared dims
+    data[i + 5:i + 7] = (65500).to_bytes(2, "big")
+    data[i + 7:i + 9] = (30).to_bytes(2, "big")
+    assert decode_jpeg_resize_native(bytes(data), 512, False) is None
+
+
+def test_prepare_batch_honors_pil_backend(tmp_path):
+    """Predictor-level decode_backend='pil' must reach prepare_batch: the
+    path input then matches PIL decode+resize exactly."""
+    from shape_based_object_detection_tpu.serving import prepare_batch
+
+    img = _photo(150, 200, seed=12)
+    p = str(tmp_path / "a.jpg")
+    Image.fromarray(img).save(p, quality=92)
+    batch, sizes = prepare_batch([p], 64, 1, decode_backend="pil")
+    decoded = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+    ref = np.asarray(
+        Image.fromarray(decoded).resize((64, 64), Image.BILINEAR), np.uint8)
+    assert (batch[0] == ref).all() and sizes == [(150, 200)]
+
+
+@needs_native
 def test_native_rejects_garbage():
     assert decode_jpeg_resize_native(b"definitely not a jpeg file", 64,
                                      False) is None

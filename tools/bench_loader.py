@@ -40,9 +40,15 @@ class JpegFolderDetection:
 
     def __init__(self, root: str, n: int, size: int,
                  decode_backend: str = "auto"):
+        from shape_based_object_detection_tpu.utils.image import (
+            effective_decode_backend,
+        )
+
         self.paths = [os.path.join(root, f"{i}.jpg") for i in range(n)]
         self.size = size
-        self.decode_backend = decode_backend
+        # resolved like VOC/COCO do: "native" fails loud if the lib can't
+        # build (a silent PIL fallback would mislabel the measurement)
+        self.decode_backend = effective_decode_backend(decode_backend)
         self.boxes = np.asarray([[0.2, 0.2, 0.8, 0.8]], np.float32)
         self.labels = np.asarray([1], np.int32)
 
@@ -133,7 +139,8 @@ def main(argv=None):
                 "unit": "images/sec" if not k.endswith("_s") else "sec",
                 "config": {"images": args.images, "size": args.size,
                            "batch": args.batch, "workers": args.workers,
-                           "decode_backend": args.decode_backend},
+                           # the RESOLVED backend (what actually ran)
+                           "decode_backend": ds.decode_backend},
             }))
 
 

@@ -10,7 +10,8 @@ cd "$(dirname "$0")/.."
 step() {
   echo "=== $(date -u +%H:%M:%S) $* ===" | tee -a "$LOG"
   timeout 1800 "$@" 2>&1 | tee -a "$LOG"
-  echo "--- rc=$? ---" | tee -a "$LOG"
+  # PIPESTATUS[0] = the measured command's rc (plain $? would be tee's)
+  echo "--- rc=${PIPESTATUS[0]} ---" | tee -a "$LOG"
 }
 
 # 1. Headline (re-measure: deferred box decode landed since the last number)
