@@ -39,7 +39,7 @@ _LOCK_STALE_S = 600.0
 # contributes only the knobs it has.
 _IDENTITY_ATTRS = ("root", "split", "ann_file", "include_difficult",
                    "include_crowd", "seed", "num_classes", "num_images",
-                   "decode_backend")
+                   "max_objects", "aspect_std", "decode_backend")
 
 
 def _source_fingerprint(dataset, max_boxes: int) -> dict:

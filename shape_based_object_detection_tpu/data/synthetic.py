@@ -35,18 +35,39 @@ def _class_color(cls: int) -> np.ndarray:
 
 
 class SyntheticDetection:
-    """Images of colored rectangles on noise; label = color index + 1."""
+    """Images of colored rectangles on noise; label = color index + 1.
+
+    ``aspect_std > 0`` switches box sampling to area + log-normal aspect
+    ratio (w/h = e^N(0, aspect_std)), producing a heavy tail of thin and
+    elongated objects — the regime where shape-similarity matching (C13)
+    differs from plain IoU. The default (0.0) keeps the original
+    near-square sampler bit-identical (existing oracle tests depend on it).
+    """
 
     def __init__(self, size: int = 300, num_images: int = 64,
-                 max_objects: int = 4, num_classes: int = 4, seed: int = 0):
+                 max_objects: int = 4, num_classes: int = 4, seed: int = 0,
+                 aspect_std: float = 0.0):
         self.size = size
         self.num_images = num_images
         self.max_objects = max_objects
         self.num_classes = num_classes
         self.seed = seed
+        self.aspect_std = aspect_std
 
     def __len__(self) -> int:
         return self.num_images
+
+    def _sample_wh(self, rng) -> Tuple[float, float]:
+        if self.aspect_std <= 0:
+            return rng.uniform(0.15, 0.5), rng.uniform(0.15, 0.5)
+        # fixed-ish area, extreme aspect: keep every box >= ~4 px at
+        # size>=128 so a matched anchor is geometrically possible
+        area = rng.uniform(0.01, 0.06)
+        log_ar = float(np.clip(rng.normal(0.0, self.aspect_std), -2.2, 2.2))
+        w = float(np.sqrt(area * np.exp(log_ar)))
+        h = float(np.sqrt(area / np.exp(log_ar)))
+        lo = 4.0 / self.size
+        return max(min(w, 0.95), lo), max(min(h, 0.95), lo)
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         rng = np.random.default_rng(self.seed * 100_003 + i)
@@ -55,8 +76,7 @@ class SyntheticDetection:
         n = int(rng.integers(1, self.max_objects + 1))
         boxes, labels = [], []
         for _ in range(n):
-            w = rng.uniform(0.15, 0.5)
-            h = rng.uniform(0.15, 0.5)
+            w, h = self._sample_wh(rng)
             x0 = rng.uniform(0, 1 - w)
             y0 = rng.uniform(0, 1 - h)
             cls = int(rng.integers(0, self.num_classes))

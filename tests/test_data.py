@@ -39,6 +39,30 @@ def test_synthetic_dataset():
     np.testing.assert_array_equal(img, img2)
 
 
+def test_synthetic_aspect_std():
+    """aspect_std>0 yields valid boxes with a real extreme-aspect tail, and
+    aspect_std=0 (default) stays bit-identical to the original sampler
+    (existing overfit/eval oracles depend on those exact pixels)."""
+    base = SyntheticDetection(size=128, num_images=8, seed=3)
+    same = SyntheticDetection(size=128, num_images=8, seed=3, aspect_std=0.0)
+    for i in range(4):
+        np.testing.assert_array_equal(base[i][0], same[i][0])
+        np.testing.assert_array_equal(base[i][1], same[i][1])
+
+    thin = SyntheticDetection(size=128, num_images=64, seed=3, aspect_std=1.2)
+    ars = []
+    for i in range(64):
+        _, boxes, labels = thin[i]
+        w = boxes[:, 2] - boxes[:, 0]
+        h = boxes[:, 3] - boxes[:, 1]
+        assert (w > 0).all() and (h > 0).all()
+        assert (boxes >= 0).all() and (boxes <= 1).all()
+        ars.extend((w / h).tolist())
+    ars = np.asarray(ars)
+    # a real tail: some boxes beyond 3:1 either way
+    assert (ars > 3).any() and (ars < 1 / 3).any()
+
+
 def test_loader_batches():
     ds = SyntheticDetection(size=32, num_images=10)
     loader = Loader(ds, batch_size=4, max_boxes=6)

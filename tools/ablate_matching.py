@@ -1,0 +1,177 @@
+"""End-to-end ablation of shape-similarity matching (component C13 — the
+research contribution): train the SAME model twice, once with plain-IoU
+matching (shape_weight=0) and once with the shape-aware quality, on a
+synthetic dataset with a heavy tail of thin/elongated objects, and report
+held-out COCO-protocol mAP for both arms.
+
+BASELINE.md's "reference shape-matching mAP delta" row is unverifiable (the
+reference mount is empty — SURVEY.md §0) and no real COCO/VOC data is in
+this environment, so this measures the framework's OWN shape-matching effect
+under controlled conditions: identical init (same PRNGKey), identical data
+order, identical schedule — only MatchConfig differs. The extreme-aspect
+regime is where the two matchers disagree (tools/matching_analysis.py shows
+the static matching statistics; this shows the end-task effect).
+
+    python tools/ablate_matching.py                      # tiny retinanet, CPU-ok
+    JAX_PLATFORMS=cpu python tools/ablate_matching.py --steps 400
+    python tools/ablate_matching.py --family ssd --shape-weight 0.3
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from shape_based_object_detection_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
+import numpy as np
+
+
+def _make_cfg(args, shape_weight: float):
+    from shape_based_object_detection_tpu import config as config_lib
+
+    model_cfg = config_lib.tiny_test_model(args.family)
+    # open up the detector for small/thin objects: the default tiny preset
+    # keeps the real models' score threshold, fine here too
+    decay = max(2 * args.steps // 3, 2)
+    return config_lib.ExperimentConfig(
+        model=model_cfg,
+        data=dataclasses.replace(
+            config_lib.DataConfig(dataset="synthetic",
+                                  batch_size=args.batch,
+                                  max_boxes=args.max_objects),
+            photometric=False, expand=False, random_crop=False, hflip=True,
+        ),
+        train=dataclasses.replace(
+            config_lib.TrainConfig(), base_lr=args.lr, warmup_steps=20,
+            weight_decay=0.0, total_steps=args.steps,
+            lr_decay_steps=(decay,) if decay > 20 else (21,),
+        ),
+        match=config_lib.MatchConfig(
+            pos_threshold=0.5, neg_threshold=0.4,
+            shape_weight=shape_weight, shape_tau=args.tau,
+            force_match_for_each_gt=True,
+        ),
+        loss=config_lib.LossConfig(
+            kind="multibox" if args.family == "ssd" else "focal"),
+    )
+
+
+def run_arm(args, shape_weight: float) -> dict:
+    import jax
+
+    from shape_based_object_detection_tpu import train as train_lib
+    from shape_based_object_detection_tpu.data.pipeline import Loader
+    from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
+    from shape_based_object_detection_tpu.eval.ap import Evaluator
+    from shape_based_object_detection_tpu.models.factory import build_model
+
+    cfg = _make_cfg(args, shape_weight)
+    size = cfg.model.image_size
+
+    train_ds = SyntheticDetection(
+        size=size, num_images=args.train_images,
+        max_objects=args.max_objects, num_classes=cfg.model.num_classes,
+        seed=1, aspect_std=args.aspect_std)
+    val_ds = SyntheticDetection(
+        size=size, num_images=args.val_images,
+        max_objects=args.max_objects, num_classes=cfg.model.num_classes,
+        seed=2, aspect_std=args.aspect_std)  # disjoint generator stream
+
+    # identical init across arms: fixed PRNGKey; only MatchConfig differs
+    module, variables, anchors = build_model(cfg.model,
+                                             rng=jax.random.PRNGKey(7))
+    state = train_lib.create_train_state(module, variables, cfg)
+    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=True)
+
+    loader = Loader(train_ds, cfg.data.batch_size, cfg.data.max_boxes,
+                    seed=0, shuffle=True)
+    t0 = time.time()
+    step, epoch, last_loss = 0, 0, float("nan")
+    while step < args.steps:
+        for batch in loader.batches(epoch):
+            state, metrics = step_fn(state, batch._asdict())
+            step += 1
+            if step % max(args.steps // 10, 1) == 0:
+                last_loss = float(metrics["loss"])
+                print(f"  [w={shape_weight:g}] step {step}/{args.steps} "
+                      f"loss={last_loss:.4f}", flush=True)
+            if step >= args.steps:
+                break
+        epoch += 1
+    train_s = time.time() - t0
+
+    eval_step = train_lib.make_eval_step(module, anchors, cfg)
+    evaluator = Evaluator(area_scale=size)
+    val_loader = Loader(val_ds, cfg.data.batch_size, cfg.data.max_boxes,
+                        shuffle=False)
+    for batch, n_valid in val_loader.batches_padded():
+        det = eval_step(state, batch.images)
+        det = jax.tree_util.tree_map(lambda x: np.asarray(x)[:n_valid], det)
+        evaluator.add_batch(det, batch.boxes[:n_valid],
+                            batch.labels[:n_valid], batch.valid[:n_valid])
+    m = evaluator.coco()
+
+    def _f(v):  # strata with no GT are NaN; emit strict JSON
+        return None if not np.isfinite(v) else float(v)
+
+    return {
+        "shape_weight": shape_weight,
+        "mAP": _f(m["mAP"]), "AP50": _f(m["AP50"]), "AP75": _f(m["AP75"]),
+        "APsmall": _f(m["APsmall"]), "APmedium": _f(m["APmedium"]),
+        "APlarge": _f(m["APlarge"]),
+        "final_loss": last_loss,
+        "train_s": round(train_s, 1),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", choices=["retinanet", "ssd"],
+                   default="retinanet")
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--shape-weight", type=float, default=0.3,
+                   help="shape_weight of the shape-aware arm (config #3 value)")
+    p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--aspect-std", type=float, default=1.2,
+                   help="log-aspect stddev of the synthetic objects "
+                        "(1.2 => ~22%% of boxes beyond 4.5:1)")
+    p.add_argument("--train-images", type=int, default=512)
+    p.add_argument("--val-images", type=int, default=128)
+    p.add_argument("--max-objects", type=int, default=4)
+    args = p.parse_args(argv)
+
+    results = [run_arm(args, 0.0), run_arm(args, args.shape_weight)]
+
+    print(f"\n{'shape_w':>8} {'mAP':>7} {'AP50':>7} {'AP75':>7} "
+          f"{'APsmall':>8} {'APmed':>7} {'APlarge':>8}")
+    for r in results:
+        row = [r[k] for k in ("mAP", "AP50", "AP75", "APsmall", "APmedium",
+                              "APlarge")]
+        cells = " ".join(f"{v:>7.4f}" if v is not None else f"{'—':>7}"
+                         for v in row)
+        print(f"{r['shape_weight']:>8g} {cells}")
+    delta = results[1]["mAP"] - results[0]["mAP"]
+    print(json.dumps({
+        "metric": "shape_matching_map_delta_synthetic",
+        "value": round(delta, 4),
+        "unit": "mAP",
+        "arms": results,
+        "note": (f"tiny {args.family}, {args.steps} steps, aspect_std="
+                 f"{args.aspect_std}, identical init/data; COCO-protocol "
+                 "mAP on held-out synthetic val"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
