@@ -37,6 +37,12 @@ def _host_fingerprint() -> str:
     fingerprint makes entries machine-compatible by construction; a new
     machine simply starts a fresh namespace.
     """
+    # Note: even same-host cache hits log a spurious cpu_aot_loader E-line
+    # ("+prefer-no-scatter is not supported on the host machine"): XLA bakes
+    # its own tuning pseudo-features (prefer-no-scatter/gather) into the
+    # compile-time feature list and then compares it against LLVM host
+    # detection, which never reports them. Harmless when the REAL ISA
+    # features match — which this fingerprint guarantees.
     flags = ""
     try:
         with open("/proc/cpuinfo") as f:
