@@ -8,7 +8,8 @@ first-party vectorized numpy implementation of the COCOeval 'bbox' protocol:
   classes; crowd GT act as ignore regions (a detection matched to a crowd is
   neither TP nor FP, and crowd IoU is intersection / det-area); AP is also
   reported area-stratified (APsmall/APmedium/APlarge) and average recall at
-  1/10/100 detections per image (AR1/AR10/AR100).
+  1/10/100 detections per image (AR1/AR10/AR100) plus area-stratified AR
+  (ARsmall/ARmedium/ARlarge at maxDets=100) — the full 12-metric summary.
 - VOC-style AP: 11-point interpolated (VOC2007) or continuous (VOC2010+) at
   IoU 0.5.
 
@@ -382,8 +383,10 @@ def coco_map(
 ) -> Dict[str, float]:
     """Full COCOeval-bbox metric suite.
 
-    Returns {'mAP', 'AP50', 'AP75', 'APsmall', 'APmedium', 'APlarge',
-    'AR1', 'AR10', 'AR100', 'per_class'}.
+    Returns the full 12-metric COCOeval summary: {'mAP', 'AP50', 'AP75',
+    'APsmall', 'APmedium', 'APlarge', 'AR1', 'AR10', 'AR100', 'ARsmall',
+    'ARmedium', 'ARlarge', 'per_class'} (area-stratified AR at
+    maxDets=max(max_dets), as pycocotools' summarize does).
 
     Area strata follow pycocotools: 32^2/96^2 thresholds against annotation
     areas in ORIGINAL-image pixels. The per-image conversion comes from each
@@ -401,6 +404,7 @@ def coco_map(
     per_class: Dict[int, np.ndarray] = {}
     all_aps, strat_aps = [], {name: [] for name, _, _ in strata}
     recalls = {md: [] for md in max_dets}
+    strat_ars = {name: [] for name, _, _ in strata}
     # one matching pass per class covers ALL area ranges (IoUs, sorting, and
     # marshaling shared; see _match_class_strata) — the 'all' range first
     ranges = [(0.0, 1e10)] + [(lo, hi) for _, lo, hi in strata]
@@ -424,11 +428,15 @@ def coco_map(
                 _recall_from_tp(tp[:, keep], n_gt, ig[:, keep]))
         for (name, _, _), (tp_a, ig_a, n_gt_a) in zip(strata, per_range[1:]):
             strat_aps[name].append(_ap_from_tp(tp_a, n_gt_a, "101point", ig_a))
+            # ARsmall/medium/large at maxDets=md_max (pycocotools summarize
+            # rows 10-12 use maxDets=100)
+            strat_ars[name].append(_recall_from_tp(tp_a, n_gt_a, ig_a))
 
     if not all_aps:
         out = {"mAP": 0.0, "AP50": 0.0, "AP75": 0.0, "per_class": {}}
         for name, _, _ in strata:
             out[f"AP{name}"] = 0.0
+            out[f"AR{name}"] = 0.0
         for md in max_dets:
             out[f"AR{md}"] = 0.0
         return out
@@ -451,6 +459,7 @@ def coco_map(
     }
     for name, _, _ in strata:
         out[f"AP{name}"] = float(_nanmean(np.stack(strat_aps[name])))
+        out[f"AR{name}"] = float(_nanmean(np.stack(strat_ars[name])))
     for md in max_dets:
         out[f"AR{md}"] = float(_nanmean(np.stack(recalls[md])))
     out["per_class"] = {c: float(_nanmean(a)) for c, a in per_class.items()}

@@ -198,6 +198,24 @@ def test_average_recall_maxdets():
     np.testing.assert_allclose(m["AR100"], 1.0, atol=1e-9)
 
 
+def test_area_stratified_ar():
+    """Two small GTs (one detected) + one large GT (detected): ARsmall = 1/2,
+    ARlarge = 1, ARmedium undefined, overall AR100 = 2/3 (pycocotools
+    summarize rows 10-12, maxDets=100)."""
+    gt = [GroundTruthRecord(
+        0, np.stack([_box(0, 0, 10, 10), _box(100, 100, 110, 110),
+                     _box(300, 300, 500, 500)]),
+        np.asarray([1, 1, 1]))]
+    det = [DetectionRecord(
+        0, np.stack([_box(0, 0, 10, 10), _box(300, 300, 500, 500)]),
+        np.asarray([0.9, 0.8]), np.asarray([1, 1]))]
+    m = coco_map(det, gt)
+    np.testing.assert_allclose(m["ARsmall"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(m["ARlarge"], 1.0, atol=1e-9)
+    assert np.isnan(m["ARmedium"])
+    np.testing.assert_allclose(m["AR100"], 2.0 / 3.0, atol=1e-9)
+
+
 def test_evaluator_crowd_plumbing():
     from shape_based_object_detection_tpu.eval import Evaluator
     from shape_based_object_detection_tpu.ops.nms import Detections
