@@ -25,6 +25,10 @@ def main(argv=None):
     p.add_argument("--min-score", type=float, default=0.3)
     p.add_argument("--quantize", action="store_true",
                    help="serve from int8 weight-only quantized params")
+    p.add_argument("--act-scales", default="",
+                   help="with --int8-activations: calibrated "
+                        "activation-scales JSON (tools/calibrate_scales.py) "
+                        "for the static-scale int8 latency tier")
     p.add_argument("--int8-activations", action="store_true",
                    help="with --quantize: run eligible convs as s8xs8->s32 "
                         "on the MXU (dynamic activation scales)")
@@ -156,10 +160,13 @@ def _build_runner(args):
             make_serving_detect,
         )
 
+        if args.act_scales and not args.int8_activations:
+            raise SystemExit("--act-scales requires --int8-activations")
         mode = ("full" if args.int8_activations else
                 "weights" if args.quantize else "")
         detect, variables = make_serving_detect(
-            module, anchors, cfg.model, cfg.data, variables, mode)
+            module, anchors, cfg.model, cfg.data, variables, mode,
+            activation_scales=args.act_scales or None)
 
         def run(img):
             # detect() labels are 0-based foreground ids; main() reports

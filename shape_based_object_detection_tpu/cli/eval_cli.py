@@ -38,6 +38,10 @@ def main(argv=None):
                    help="evaluate the int8 serving path instead of float — "
                         "'weights' (weight-only) or 'full' (+dynamic-int8 "
                         "activations); measures quantization mAP drift")
+    p.add_argument("--act-scales", default="",
+                   help="with --quantize full: calibrated activation-scales "
+                        "JSON (tools/calibrate_scales.py) — evaluates the "
+                        "static-scale int8 tier instead of dynamic")
     p.add_argument("--dump-results", default="",
                    help="write detections as standard COCO results JSON "
                         "([{image_id, category_id, bbox xywh px, score}]) — "
@@ -73,7 +77,8 @@ def main(argv=None):
     from shape_based_object_detection_tpu.quantize import make_serving_detect
 
     detect, variables = make_serving_detect(
-        module, anchors, cfg.model, cfg.data, variables, args.quantize)
+        module, anchors, cfg.model, cfg.data, variables, args.quantize,
+        activation_scales=args.act_scales or None)
     # COCO protocol: crowd GT regions ride along as ignore regions, and the
     # area strata (32^2/96^2 px) follow pycocotools — ORIGINAL-image
     # annotation pixels, via per-image area factors when the dataset knows

@@ -48,6 +48,7 @@ def export_detect(
     platforms: Sequence[str] = ("tpu", "cpu"),
     quantize: bool = False,
     int8_activations: bool = False,
+    activation_scales=None,
 ) -> bytes:
     """Export detect() for a fixed batch shape with weights embedded.
 
@@ -57,13 +58,19 @@ def export_detect(
     exported platform (the Pallas kernel is TPU-only and not exportable
     across platforms). ``quantize=True`` embeds int8 weight-only quantized
     constants (quantize.py) — ~4x smaller artifact, dequantize fused on-chip.
-    ``int8_activations=True`` additionally bakes the dynamic s8xs8->s32 conv
+    ``int8_activations=True`` additionally bakes the s8xs8->s32 conv
     path into the exported program (quantize.py; plain StableHLO ops, so it
-    stays portable across the exported platforms).
+    stays portable across the exported platforms) — with dynamic per-image
+    activation scales, or calibrated static ones when ``activation_scales``
+    (a ``quantize.calibrate_activation_scales`` dict or saved JSON path) is
+    given: the scales become baked constants, removing the on-chip abs-max
+    reductions (the batch-1 latency artifact).
     """
     if int8_activations and not quantize:
         raise ValueError("int8_activations=True requires quantize=True (it "
                          "is a tier on top of int8 weights)")
+    if activation_scales is not None and not int8_activations:
+        raise ValueError("activation_scales requires int8_activations=True")
     detect = make_detect_fn(module, anchors_cxcywh, cfg, data_cfg,
                             use_pallas=False)
     if quantize:
@@ -77,7 +84,14 @@ def export_detect(
         inner_detect = detect
 
         if int8_activations:
-            interceptor = int8_conv_interceptor()
+            from shape_based_object_detection_tpu.quantize import (
+                load_activation_scales,
+            )
+
+            if isinstance(activation_scales, str):
+                activation_scales = load_activation_scales(activation_scales)
+            interceptor = int8_conv_interceptor(
+                activation_scales=activation_scales)
 
             def detect(variables, images):
                 with nn.intercept_methods(interceptor):
@@ -102,6 +116,9 @@ def export_detect(
         "num_classes": cfg.num_classes,
         "quantized": quantize,
         "int8_activations": bool(quantize and int8_activations),
+        "activation_scale_mode": (
+            "" if not (quantize and int8_activations)
+            else "static" if activation_scales is not None else "dynamic"),
         # serving-side prepare/unpack must match the preprocessing the
         # weights were trained/evaluated with (ArtifactPredictor reads this)
         "letterbox": bool(data_cfg.letterbox) if data_cfg else False,
@@ -160,6 +177,7 @@ def export_from_config(
     platforms: Sequence[str] = ("tpu", "cpu"),
     quantize: bool = False,
     int8_activations: bool = False,
+    activation_scales=None,
     dtype: str | None = None,
 ) -> bytes:
     """Convenience: build the model from an ExperimentConfig and export.
@@ -178,4 +196,5 @@ def export_from_config(
     return export_detect(
         module, variables if variables is not None else init_vars, anchors,
         model_cfg, experiment_cfg.data, batch_size, platforms,
-        quantize=quantize, int8_activations=int8_activations)
+        quantize=quantize, int8_activations=int8_activations,
+        activation_scales=activation_scales)

@@ -133,6 +133,28 @@ def _default_int8_skip(module) -> bool:
     return name == "predict" or name.startswith(("loc_", "cls_"))
 
 
+def _module_path_key(module) -> str:
+    """Stable string identity for a conv inside an apply (calibration
+    records and static-scale lookup share it)."""
+    path = getattr(module, "path", None)
+    if path is None:  # older flax: go through the scope
+        path = module.scope.path
+    return "/".join(str(p) for p in path)
+
+
+def _conv_eligible(lhs, kernel_size, in_features: int, features: int,
+                   min_size: int) -> bool:
+    """Mirror of the runtime eligibility test in the int8 conv impls, but
+    computable BEFORE the conv runs (from the module + its input): 2D conv,
+    kernel at least ``min_size`` elements, float input."""
+    import numpy as np
+
+    if len(kernel_size) != 2 or jnp.issubdtype(lhs.dtype, jnp.integer):
+        return False
+    ksize = int(np.prod(kernel_size)) * int(in_features) * int(features)
+    return ksize >= min_size
+
+
 def _int8_dynamic_conv(orig_conv, min_size: int):
     """Wrap ``lax.conv_general_dilated``: float-in/float-out, s8xs8->s32
     compute. Per-image activation scale (dynamic), per-output-channel
@@ -162,6 +184,35 @@ def _int8_dynamic_conv(orig_conv, min_size: int):
         kwargs.pop("precision", None)  # float-only knob
         out = orig_conv(lq, wq, *args, **kwargs)
         # ls: (B,1,1,1), ws: (O,) -> (B,1,1,O) per-image-per-channel dequant
+        return (out.astype(jnp.float32) * (ls * ws)).astype(out_dtype)
+
+    return conv
+
+
+def _int8_static_conv(orig_conv, min_size: int, act_scale: float):
+    """Static-scale twin of :func:`_int8_dynamic_conv`: the activation scale
+    is a CALIBRATED compile-time constant (``act_scale`` = calibration
+    abs-max / 127), so the per-batch abs-max reduction — the serialized
+    critical-path cost that makes dynamic int8 lose at batch 1 — disappears.
+    Activations beyond the calibration range clip to +-127 (standard PTQ)."""
+    ls = float(act_scale)
+
+    def conv(lhs, rhs, *args, **kwargs):
+        if (rhs.ndim != 4 or rhs.size < min_size
+                or jnp.issubdtype(lhs.dtype, jnp.integer)):
+            return orig_conv(lhs, rhs, *args, **kwargs)
+        out_dtype = lhs.dtype
+        lq = jnp.clip(jnp.round(lhs.astype(jnp.float32) / ls),
+                      -127, 127).astype(jnp.int8)
+        ws = jnp.maximum(
+            jnp.max(jnp.abs(rhs).astype(jnp.float32), axis=(0, 1, 2)),
+            1e-12) / 127.0
+        wq = jnp.clip(jnp.round(rhs.astype(jnp.float32) / ws),
+                      -127, 127).astype(jnp.int8)
+        kwargs = dict(kwargs)
+        kwargs["preferred_element_type"] = jnp.int32
+        kwargs.pop("precision", None)  # float-only knob
+        out = orig_conv(lq, wq, *args, **kwargs)
         return (out.astype(jnp.float32) * (ls * ws)).astype(out_dtype)
 
     return conv
@@ -218,11 +269,19 @@ def _install_routing_conv() -> None:
         _flax_linear.lax = _LaxProxy(_flax_linear.lax, routing_conv)
 
 
-def int8_conv_interceptor(skip_fn=None, min_size: int = 1024):
+def int8_conv_interceptor(skip_fn=None, min_size: int = 1024,
+                          activation_scales=None):
     """A ``flax.linen.intercept_methods`` interceptor that reroutes every
-    eligible ``nn.Conv`` through the dynamic-int8 conv. Thread-safe: the
+    eligible ``nn.Conv`` through the int8 conv. Thread-safe: the
     int8 implementation is active only for the current thread and only
-    inside each intercepted conv's trace."""
+    inside each intercepted conv's trace.
+
+    ``activation_scales``: None for dynamic per-image scales (no calibration
+    needed), or a ``{module_path: abs_max}`` dict from
+    :func:`calibrate_activation_scales` for static scales (faster —
+    removes the on-chip abs-max reductions; the latency-serving tier).
+    A calibrated dict missing an eligible conv raises at trace time — a
+    stale scales file must not silently fall back to different numerics."""
     from flax import linen as nn
 
     skip = skip_fn if skip_fn is not None else _default_int8_skip
@@ -232,7 +291,25 @@ def int8_conv_interceptor(skip_fn=None, min_size: int = 1024):
         mod = context.module
         if (isinstance(mod, nn.Conv) and context.method_name == "__call__"
                 and not skip(mod)):
-            _TLS.impl = _int8_dynamic_conv(_TRUE_CONV, min_size)
+            if activation_scales is None:
+                impl = _int8_dynamic_conv(_TRUE_CONV, min_size)
+            elif not _conv_eligible(args[0], mod.kernel_size,
+                                    args[0].shape[-1], mod.features,
+                                    min_size):
+                impl = None  # too small / integer input: stays float
+            else:
+                key = _module_path_key(mod)
+                amax = activation_scales.get(key)
+                if amax is None:
+                    raise ValueError(
+                        f"no calibrated activation scale for conv {key!r} — "
+                        "re-run calibrate_activation_scales on this model "
+                        "(the scales file does not match the model/skip set)")
+                impl = _int8_static_conv(
+                    _TRUE_CONV, min_size, max(float(amax), 1e-6) / 127.0)
+            if impl is None:
+                return next_fun(*args, **kwargs)
+            _TLS.impl = impl
             try:
                 return next_fun(*args, **kwargs)
             finally:
@@ -242,9 +319,86 @@ def int8_conv_interceptor(skip_fn=None, min_size: int = 1024):
     return interceptor
 
 
+def calibrate_activation_scales(module, variables, batches, data_cfg=None,
+                                skip_fn=None, min_size: int = 1024):
+    """One-time PTQ calibration: run the float forward over ``batches``
+    (an iterable of (B, H, W, 3) uint8 arrays) recording each eligible
+    conv's input abs-max, reduced over all batches. Returns a JSON-able
+    ``{module_path: abs_max}`` dict for
+    ``int8_conv_interceptor(activation_scales=...)`` /
+    ``make_serving_detect(mode="full", activation_scales=...)``.
+
+    Calibration uses the plain forward (no postprocess); batches should be
+    representative serving inputs. The recording happens inside one jitted
+    program per batch shape — traced amaxes are returned as outputs, so
+    calibration runs at device speed."""
+    from flax import linen as nn
+
+    from shape_based_object_detection_tpu.utils import image as image_lib
+
+    mean = data_cfg.mean if data_cfg else image_lib.IMAGENET_MEAN
+    std = data_cfg.std if data_cfg else image_lib.IMAGENET_STD
+    skip = skip_fn if skip_fn is not None else _default_int8_skip
+
+    def recording_interceptor(records):
+        def interceptor(next_fun, args, kwargs, context):
+            mod = context.module
+            if (isinstance(mod, nn.Conv)
+                    and context.method_name == "__call__"
+                    and not skip(mod)
+                    and _conv_eligible(args[0], mod.kernel_size,
+                                       args[0].shape[-1], mod.features,
+                                       min_size)):
+                key = _module_path_key(mod)
+                amax = jnp.max(jnp.abs(args[0]).astype(jnp.float32))
+                prev = records.get(key)
+                records[key] = amax if prev is None else jnp.maximum(prev,
+                                                                     amax)
+            return next_fun(*args, **kwargs)
+
+        return interceptor
+
+    @jax.jit
+    def one_batch(variables, images):
+        records = {}
+        x = image_lib.normalize_images(images, mean, std)
+        with nn.intercept_methods(recording_interceptor(records)):
+            module.apply(variables, x)
+        return records
+
+    amaxes = {}
+    for images in batches:
+        rec = jax.device_get(one_batch(variables, jnp.asarray(images)))
+        for k, v in rec.items():
+            amaxes[k] = max(amaxes.get(k, 0.0), float(v))
+    if not amaxes:
+        raise ValueError("calibration saw no eligible convs — check the "
+                         "model/skip_fn/min_size")
+    return amaxes
+
+
+def save_activation_scales(path: str, amaxes) -> None:
+    """Persist calibration output as JSON (tools/CLIs interchange format)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(amaxes, f, indent=1, sort_keys=True)
+
+
+def load_activation_scales(path: str):
+    import json
+
+    with open(path) as f:
+        scales = json.load(f)
+    if not isinstance(scales, dict) or not scales:
+        raise ValueError(f"{path} is not an activation-scales dict")
+    return {str(k): float(v) for k, v in scales.items()}
+
+
 def make_quantized_detect_fn(module, anchors_cxcywh, cfg, data_cfg=None,
                              use_pallas: bool | None = None,
-                             int8_activations: bool = False):
+                             int8_activations: bool = False,
+                             activation_scales=None):
     """Quantized twin of ``detection.make_detect_fn``:
     ``detect(qvariables, images) -> Detections`` with on-chip dequantize
     fused into the single XLA program.
@@ -252,6 +406,9 @@ def make_quantized_detect_fn(module, anchors_cxcywh, cfg, data_cfg=None,
     ``int8_activations=True`` additionally runs every backbone/FPN/subnet
     conv as s8xs8->s32 on the MXU with dynamic per-tensor activation
     scales (no calibration needed); the final prediction convs stay float.
+    ``activation_scales`` (a :func:`calibrate_activation_scales` dict)
+    switches those convs to calibrated STATIC scales — compile-time
+    constants, no on-chip abs-max reductions (the batch-1 latency tier).
     """
     from flax import linen as nn
 
@@ -267,7 +424,7 @@ def make_quantized_detect_fn(module, anchors_cxcywh, cfg, data_cfg=None,
 
         return detect
 
-    interceptor = int8_conv_interceptor()
+    interceptor = int8_conv_interceptor(activation_scales=activation_scales)
 
     @jax.jit
     def detect_int8(qvariables, images):
@@ -296,11 +453,19 @@ def normalize_quantize_mode(mode) -> str:
 
 
 def make_serving_detect(module, anchors_cxcywh, cfg, data_cfg, variables,
-                        mode, use_pallas: bool | None = None):
+                        mode, use_pallas: bool | None = None,
+                        activation_scales=None):
     """One-stop quantized-serving construction shared by Predictor and the
     CLIs: returns ``(detect_fn, serving_variables)`` for the given quantize
-    mode ("" = float path, "weights", "full")."""
+    mode ("" = float path, "weights", "full"). ``activation_scales``
+    (dict, or a path to a JSON file saved by :func:`save_activation_scales`)
+    makes "full" use calibrated static scales instead of dynamic ones."""
     mode = normalize_quantize_mode(mode)
+    if isinstance(activation_scales, str):
+        activation_scales = load_activation_scales(activation_scales)
+    if activation_scales is not None and mode != "full":
+        raise ValueError(
+            "activation_scales only applies to quantize mode 'full'")
     if not mode:
         from shape_based_object_detection_tpu.detection import make_detect_fn
 
@@ -309,6 +474,7 @@ def make_serving_detect(module, anchors_cxcywh, cfg, data_cfg, variables,
     return (
         make_quantized_detect_fn(module, anchors_cxcywh, cfg, data_cfg,
                                  use_pallas=use_pallas,
-                                 int8_activations=(mode == "full")),
+                                 int8_activations=(mode == "full"),
+                                 activation_scales=activation_scales),
         quantize_params(variables),
     )

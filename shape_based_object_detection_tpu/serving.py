@@ -89,11 +89,16 @@ class Predictor:
     """detect() as a service: fixed batch, padded, async-dispatch friendly."""
 
     def __init__(self, cfg: ExperimentConfig, variables=None, batch_size: int = 8,
-                 min_score: float = 0.0, quantize: bool | str = False):
+                 min_score: float = 0.0, quantize: bool | str = False,
+                 activation_scales=None):
         """``quantize``: False | True/"weights" (int8 weight-only: ~4x
         smaller HBM weights, dequant on-chip) | "full" (additionally runs
         eligible convs as s8xs8->s32 on the MXU with dynamic activation
-        scales — the high-throughput serving mode; quantize.py)."""
+        scales — the high-throughput serving mode; quantize.py).
+        ``activation_scales``: with quantize="full", a calibration dict from
+        ``quantize.calibrate_activation_scales`` (or a path to its saved
+        JSON) switches the int8 convs to static scales — removes the
+        on-chip abs-max reductions (the batch-1 latency tier)."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.min_score = min_score
@@ -114,7 +119,8 @@ class Predictor:
         )
 
         self._detect, self.variables = make_serving_detect(
-            module, anchors, cfg.model, cfg.data, self.variables, quantize)
+            module, anchors, cfg.model, cfg.data, self.variables, quantize,
+            activation_scales=activation_scales)
         self._pending: Optional[Tuple] = None
 
     def submit(self, images: Sequence) -> None:

@@ -270,3 +270,132 @@ def test_routing_conv_does_not_patch_jax_lax():
     assert fl.lax.conv_general_dilated is not before
     # and non-conv attributes still forward to the real module
     assert fl.lax.dot_general is real_lax.dot_general
+
+
+# ---------------------------------------------------------------------------
+# Static-calibration int8 (PTQ: calibrated activation scales)
+# ---------------------------------------------------------------------------
+
+
+def test_calibrate_returns_scales(built, tiny_cfg, rng):
+    module, variables, _ = built
+    size = tiny_cfg.model.image_size
+    batches = [rng.integers(0, 255, (2, size, size, 3)).astype(np.uint8)
+               for _ in range(2)]
+    amaxes = q_lib.calibrate_activation_scales(
+        module, variables, batches, tiny_cfg.data)
+    assert amaxes and all(isinstance(k, str) for k in amaxes)
+    assert all(np.isfinite(v) and v > 0 for v in amaxes.values())
+    # reduced over batches: calibrating on a subset never exceeds the union
+    sub = q_lib.calibrate_activation_scales(
+        module, variables, batches[:1], tiny_cfg.data)
+    assert sub.keys() == amaxes.keys()
+    assert all(sub[k] <= amaxes[k] + 1e-6 for k in sub)
+
+
+def test_static_single_conv_matches_dynamic_bitexact(rng):
+    """At batch 1, a dynamic per-image scale IS the input's abs-max — so a
+    static scale calibrated on that exact input must reproduce the dynamic
+    path bit-exactly (the strongest cross-check of the static impl)."""
+    from flax import linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(8, (3, 3), name="c")(x)
+
+    m = M()
+    x = jnp.asarray(rng.uniform(-2, 2, (1, 8, 8, 4)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    amax = float(jnp.max(jnp.abs(x)))
+    with nn.intercept_methods(q_lib.int8_conv_interceptor(min_size=1)):
+        dyn = m.apply(v, x)
+    with nn.intercept_methods(q_lib.int8_conv_interceptor(
+            min_size=1, activation_scales={"c": amax})):
+        sta = m.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(dyn), np.asarray(sta))
+
+
+def test_static_missing_scale_raises(rng):
+    from flax import linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(8, (3, 3), name="c")(x)
+
+    m = M()
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 8, 8, 4)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="no calibrated activation scale"):
+        with nn.intercept_methods(q_lib.int8_conv_interceptor(
+                min_size=1, activation_scales={"other": 1.0})):
+            m.apply(v, x)
+
+
+def test_static_detect_close_and_runs(built, tiny_cfg, rng):
+    """End-to-end static-int8 detect(): calibrate on the serving input, run
+    the static tier, drift bounded vs the weight-only path."""
+    module, variables, anchors = built
+    qvars = q_lib.quantize_params(variables)
+    size = tiny_cfg.model.image_size
+    images = rng.integers(0, 255, (2, size, size, 3)).astype(np.uint8)
+    scales = q_lib.calibrate_activation_scales(
+        module, variables, [images], tiny_cfg.data)
+
+    det_w = q_lib.make_quantized_detect_fn(
+        module, anchors, tiny_cfg.model, tiny_cfg.data,
+        use_pallas=False)(qvars, jnp.asarray(images))
+    det_s = q_lib.make_quantized_detect_fn(
+        module, anchors, tiny_cfg.model, tiny_cfg.data, use_pallas=False,
+        int8_activations=True, activation_scales=scales)(
+            qvars, jnp.asarray(images))
+    assert det_s.boxes.shape == det_w.boxes.shape
+    assert bool(jnp.all(jnp.isfinite(det_s.scores)))
+    top_w = jnp.max(jnp.where(det_w.valid, det_w.scores, 0.0), axis=1)
+    top_s = jnp.max(jnp.where(det_s.valid, det_s.scores, 0.0), axis=1)
+    assert float(jnp.max(jnp.abs(top_w - top_s))) < 0.05
+
+
+def test_static_scales_json_roundtrip_and_predictor(tmp_path, built,
+                                                    tiny_cfg, rng):
+    from shape_based_object_detection_tpu.serving import Predictor
+
+    module, variables, _ = built
+    size = tiny_cfg.model.image_size
+    batch = rng.integers(0, 255, (2, size, size, 3)).astype(np.uint8)
+    scales = q_lib.calibrate_activation_scales(
+        module, variables, [batch], tiny_cfg.data)
+    path = str(tmp_path / "scales.json")
+    q_lib.save_activation_scales(path, scales)
+    assert q_lib.load_activation_scales(path) == pytest.approx(scales)
+
+    pred = Predictor(tiny_cfg, batch_size=2, quantize="full",
+                     activation_scales=path)
+    out = pred.predict([rng.integers(0, 255, (97, 133, 3)).astype(np.uint8)])
+    assert len(out) == 1 and out[0].boxes.shape[1] == 4
+
+
+def test_static_scales_require_full_mode(built, tiny_cfg):
+    module, variables, anchors = built
+    with pytest.raises(ValueError, match="only applies to quantize mode"):
+        q_lib.make_serving_detect(module, anchors, tiny_cfg.model,
+                                  tiny_cfg.data, variables, "weights",
+                                  activation_scales={"c": 1.0})
+
+
+def test_static_export_header_and_runs(built, tiny_cfg, rng):
+    from shape_based_object_detection_tpu import export as export_lib
+
+    module, variables, _ = built
+    size = tiny_cfg.model.image_size
+    batch = rng.integers(0, 255, (1, size, size, 3)).astype(np.uint8)
+    scales = q_lib.calibrate_activation_scales(
+        module, variables, [batch], tiny_cfg.data)
+    blob = export_lib.export_from_config(
+        tiny_cfg, batch_size=1, platforms=("cpu",), quantize=True,
+        int8_activations=True, activation_scales=scales)
+    loaded = export_lib.load_detect(blob)
+    assert loaded.header["activation_scale_mode"] == "static"
+    det = loaded(batch)
+    assert bool(np.all(np.isfinite(np.asarray(det.scores))))

@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--int8-activations", action="store_true",
                    help="with --quantize: bake the dynamic s8xs8->s32 conv "
                         "path into the exported program")
+    p.add_argument("--act-scales", default="",
+                   help="with --int8-activations: calibrated "
+                        "activation-scales JSON (tools/calibrate_scales.py) "
+                        "— bakes static scales (batch-1 latency artifact)")
     p.add_argument("--ema", action="store_true",
                    help="export the checkpoint's EMA weights (requires a "
                         "checkpoint trained with ema_decay > 0)")
@@ -44,6 +48,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.int8_activations and not args.quantize:
         raise SystemExit("--int8-activations requires --quantize")
+    if args.act_scales and not args.int8_activations:
+        raise SystemExit("--act-scales requires --int8-activations")
 
     from shape_based_object_detection_tpu import config as config_lib
     from shape_based_object_detection_tpu import export as export_lib
@@ -78,6 +84,7 @@ def main(argv=None):
         platforms=tuple(args.platforms.split(",")),
         quantize=args.quantize,
         int8_activations=args.int8_activations,
+        activation_scales=args.act_scales or None,
     )
     export_lib.save_artifact(blob, args.out)
     print(f"wrote {args.out}: {len(blob) / 1e6:.1f} MB, "
