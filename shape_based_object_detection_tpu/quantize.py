@@ -149,6 +149,8 @@ def _conv_eligible(lhs, kernel_size, in_features: int, features: int,
     kernel at least ``min_size`` elements, float input."""
     import numpy as np
 
+    if isinstance(kernel_size, int):  # flax accepts a bare int for NxN
+        kernel_size = (kernel_size, kernel_size)
     if len(kernel_size) != 2 or jnp.issubdtype(lhs.dtype, jnp.integer):
         return False
     ksize = int(np.prod(kernel_size)) * int(in_features) * int(features)

@@ -34,7 +34,9 @@ MODELS = {
 def bench_one(model_key: str, batch: int, iters: int, windows: int,
               quantize: str = "") -> dict:
     """``quantize``: "" (bf16) | "weights" (int8 weight-only) | "full"
-    (int8 weights + dynamic-int8 activations on the MXU)."""
+    (int8 weights + dynamic-int8 activations on the MXU) | "full-static"
+    (calibrated static activation scales — calibrated in-process on the
+    bench inputs; measures the PTQ latency tier)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -44,15 +46,25 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int,
     cfg = config_lib.get_config(MODELS[model_key])
     model_cfg = dataclasses.replace(cfg.model, dtype="bfloat16")
     module, variables, anchors = build_model(model_cfg)
-    from shape_based_object_detection_tpu.quantize import make_serving_detect
-
-    detect, variables = make_serving_detect(
-        module, anchors, model_cfg, cfg.data, variables, quantize)
+    from shape_based_object_detection_tpu.quantize import (
+        calibrate_activation_scales, make_serving_detect,
+    )
 
     size = model_cfg.image_size
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8))
+    images_np = rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
+
+    quantize_label = quantize
+    act_scales = None
+    if quantize == "full-static":
+        act_scales = calibrate_activation_scales(
+            module, variables, [images_np], cfg.data)
+        quantize = "full"
+    detect, variables = make_serving_detect(
+        module, anchors, model_cfg, cfg.data, variables, quantize,
+        activation_scales=act_scales)
+
+    images = jnp.asarray(images_np)
 
     out = detect(variables, images)  # compile + warmup
     _ = float(out.scores[0, 0])
@@ -79,7 +91,7 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int,
         best_dt = min(best_dt, (t1 - t0 - rtt) / iters)
     return {
         "model": model_key, "image_size": size, "batch": batch,
-        "quantized": quantize,
+        "quantized": quantize_label,
         "ms_per_batch": round(best_dt * 1e3, 3),
         "images_per_sec_per_chip": round(batch / best_dt, 1),
     }
@@ -122,10 +134,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--quantize", nargs="?", const="weights", default="",
-                    choices=["weights", "full"],
+                    choices=["weights", "full", "full-static"],
                     help="bench the int8 detect path: 'weights' (weight-only"
-                         ", the default when the flag is bare) or 'full' "
-                         "(+dynamic-int8 activations on the MXU)")
+                         ", the default when the flag is bare), 'full' "
+                         "(+dynamic-int8 activations on the MXU), or "
+                         "'full-static' (calibrated static scales)")
     ap.add_argument("--one", default="",
                     help="internal: run a single 'model:batch' cell and exit")
     args = ap.parse_args()
