@@ -146,4 +146,27 @@ for eb, n_valid in eval_loader.batches_padded():
     n_images += det_np.boxes.shape[0]
 emap = ev.voc()["mAP"]
 print(f"EVAL proc={proc_id} images={n_images} map={emap:.6f}", flush=True)
+
+# ---- multi-process CHECKPOINT save/restore (C18 "multi-host-safe", the
+# config #5 failure-recovery contract): every process participates in one
+# orbax save of the replicated post-step state, then restores it into a
+# fresh template and must read back the exact params.
+ckpt_dir = os.environ.get("SBD_TEST_CKPT_DIR", "")
+if ckpt_dir:
+    from shape_based_object_detection_tpu.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_dir, async_save=False)
+    mgr.save(state, step=1)
+    template = jax.device_put(
+        train_lib.create_train_state(module, variables, cfg), rshard)
+    restored = mgr.restore_latest(template)
+    assert restored is not None, "restore_latest found nothing after save"
+    r_checksum = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
+                           for l in jax.tree_util.tree_leaves(
+                               restored.params)))
+    match = abs(r_checksum - checksum) < 1e-6 * max(1.0, abs(checksum))
+    print(f"CKPT proc={proc_id} step={int(restored.step)} "
+          f"match={int(match)} checksum={r_checksum:.6f}", flush=True)
+    mgr.close()
+
 jax.distributed.shutdown()

@@ -182,6 +182,7 @@ def test_two_process_distributed_train_step(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "cache")
+    env["SBD_TEST_CKPT_DIR"] = str(tmp_path / "ckpt")
     repo_root = os.path.dirname(os.path.dirname(worker))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
@@ -222,6 +223,19 @@ def test_two_process_distributed_train_step(tmp_path):
     assert evals[0] == evals[1], f"eval diverged: {evals}"
     # 18 images over 2 hosts = 9/host = 4 full batches + a padded tail of 1
     assert evals[0][0] == "18", f"eval covered {evals[0][0]} of 18 images"
+    # multi-process checkpoint: one orbax save across both processes,
+    # restored exactly on each (C18 multi-host-safe / crash recovery)
+    ckpts = {}
+    for out in outs:
+        c = re.search(r"CKPT proc=(\d+) step=(\d+) match=(\d) "
+                      r"checksum=([\d.]+)", out)
+        assert c, f"no CKPT line:\n{out[-3000:]}"
+        ckpts[int(c.group(1))] = (c.group(2), c.group(3), c.group(4))
+    assert set(ckpts) == {0, 1}
+    for i in (0, 1):
+        assert ckpts[i][0] == "1" and ckpts[i][1] == "1", (
+            f"proc {i} checkpoint restore mismatch: {ckpts}")
+    assert ckpts[0][2] == ckpts[1][2], f"restored params diverged: {ckpts}"
 
 
 def test_quantized_detect_sharded_equals_single_device():
