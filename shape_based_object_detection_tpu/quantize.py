@@ -143,17 +143,19 @@ def _module_path_key(module) -> str:
 
 
 def _conv_eligible(lhs, kernel_size, in_features: int, features: int,
-                   min_size: int) -> bool:
+                   min_size: int, groups: int = 1) -> bool:
     """Mirror of the runtime eligibility test in the int8 conv impls, but
     computable BEFORE the conv runs (from the module + its input): 2D conv,
-    kernel at least ``min_size`` elements, float input."""
+    kernel at least ``min_size`` elements, float input. ``groups`` is the
+    conv's feature_group_count (HWIO kernel in-dim is in/groups)."""
     import numpy as np
 
     if isinstance(kernel_size, int):  # flax accepts a bare int for NxN
         kernel_size = (kernel_size, kernel_size)
     if len(kernel_size) != 2 or jnp.issubdtype(lhs.dtype, jnp.integer):
         return False
-    ksize = int(np.prod(kernel_size)) * int(in_features) * int(features)
+    ksize = (int(np.prod(kernel_size)) * (int(in_features) // int(groups))
+             * int(features))
     return ksize >= min_size
 
 
@@ -297,7 +299,8 @@ def int8_conv_interceptor(skip_fn=None, min_size: int = 1024,
                 impl = _int8_dynamic_conv(_TRUE_CONV, min_size)
             elif not _conv_eligible(args[0], mod.kernel_size,
                                     args[0].shape[-1], mod.features,
-                                    min_size):
+                                    min_size,
+                                    groups=mod.feature_group_count):
                 impl = None  # too small / integer input: stays float
             else:
                 key = _module_path_key(mod)
@@ -350,7 +353,8 @@ def calibrate_activation_scales(module, variables, batches, data_cfg=None,
                     and not skip(mod)
                     and _conv_eligible(args[0], mod.kernel_size,
                                        args[0].shape[-1], mod.features,
-                                       min_size)):
+                                       min_size,
+                                       groups=mod.feature_group_count)):
                 key = _module_path_key(mod)
                 amax = jnp.max(jnp.abs(args[0]).astype(jnp.float32))
                 prev = records.get(key)
