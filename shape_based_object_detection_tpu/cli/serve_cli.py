@@ -1,0 +1,119 @@
+"""``sbd-serve``: HTTP detection serving (server.py) over a checkpoint or an
+exported ``.sbdx`` artifact, with dynamic batching into the compiled batch.
+
+    sbd-serve --config config2_retinanet_r50_infer --checkpoint-dir /ckpt \
+        --quantize full --act-scales scales.json --batch-size 16 --port 8000
+    curl -s -X POST --data-binary @img.jpg \
+        'localhost:8000/detect?min_score=0.3'
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from shape_based_object_detection_tpu.utils.platform import (
+    honor_jax_platforms_env,
+)
+
+
+def main(argv=None):
+    honor_jax_platforms_env()
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="config2_retinanet_r50_infer")
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--artifact", default="",
+                   help="serve an exported .sbdx instead of building the "
+                        "model (export.py)")
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--quantize", nargs="?", const="weights", default="",
+                   choices=["weights", "full"])
+    p.add_argument("--act-scales", default="",
+                   help="with --quantize full: calibrated scales JSON "
+                        "(tools/calibrate_scales.py)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="how long the first request of a batch waits for "
+                        "co-riders before dispatching")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--class-names", default="",
+                   help="optional text file, one class name per line "
+                        "(0-based label order); 'voc' = the builtin VOC set")
+    p.add_argument("--verbose", action="store_true",
+                   help="log one line per request")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE")
+    args = p.parse_args(argv)
+
+    names = None
+    if args.class_names == "voc":
+        from shape_based_object_detection_tpu.data.voc import VOC_CLASSES
+
+        names = list(VOC_CLASSES)
+    elif args.class_names:
+        with open(args.class_names) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+
+    if args.artifact:
+        if args.quantize or args.act_scales:
+            raise SystemExit("--quantize/--act-scales cannot modify an "
+                             "exported --artifact (bake them at export "
+                             "time: tools/export_model.py)")
+        from shape_based_object_detection_tpu.serving import (
+            ArtifactPredictor,
+        )
+
+        pred = ArtifactPredictor(args.artifact)
+    else:
+        from shape_based_object_detection_tpu import config as config_lib
+        from shape_based_object_detection_tpu.models.factory import (
+            build_model,
+        )
+        from shape_based_object_detection_tpu.serving import Predictor
+
+        cfg = config_lib.resolve_config(args.config, args.overrides)
+        variables = None
+        if args.checkpoint_dir:
+            from shape_based_object_detection_tpu import train as train_lib
+            from shape_based_object_detection_tpu.checkpoint import (
+                CheckpointManager,
+            )
+
+            module, variables0, _ = build_model(cfg.model)
+            state = train_lib.create_train_state(module, variables0, cfg)
+            restored = CheckpointManager(
+                args.checkpoint_dir).restore_latest(state)
+            if restored is None:
+                raise SystemExit(
+                    f"no checkpoint found in {args.checkpoint_dir!r} — "
+                    "check the path (omit --checkpoint-dir to serve "
+                    "fresh-initialized weights deliberately)")
+            if args.ema and restored.ema_params is None:
+                raise SystemExit("--ema: checkpoint has no EMA weights")
+            params = restored.ema_params if args.ema else restored.params
+            variables = {"params": params, **restored.extra_vars}
+        elif args.ema:
+            raise SystemExit("--ema requires --checkpoint-dir")
+        pred = Predictor(cfg, variables=variables,
+                         batch_size=args.batch_size,
+                         quantize=args.quantize,
+                         activation_scales=args.act_scales or None)
+
+    from shape_based_object_detection_tpu.server import DetectionServer
+
+    server = DetectionServer(pred, host=args.host, port=args.port,
+                             batch_window_ms=args.batch_window_ms,
+                             class_names=names)
+    server.verbose = args.verbose
+    print(f"serving on http://{args.host}:{server.port}/detect "
+          f"(batch={pred.batch_size}, window={args.batch_window_ms}ms); "
+          "GET /healthz for readiness", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""HTTP detection server (server.py): endpoints, dynamic batching, error
+isolation. Uses the tiny model on CPU; requests go over a real socket."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from shape_based_object_detection_tpu import config as config_lib
+
+
+def _jpeg_bytes(rng, h=97, w=133):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        rng.integers(0, 255, (h, w, 3)).astype(np.uint8)).save(
+            buf, format="JPEG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server():
+    from shape_based_object_detection_tpu.serving import Predictor
+    from shape_based_object_detection_tpu.server import DetectionServer
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    pred = Predictor(cfg, batch_size=4, min_score=0.0)
+    # warm the compile so request timing reflects the batcher, not XLA
+    pred.predict([np.zeros((32, 32, 3), np.uint8)])
+    srv = DetectionServer(pred, port=0, batch_window_ms=200.0)
+    srv.start()
+    yield srv
+    srv.close()
+
+
+def _post(port, body, query="min_score=0.0", timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/detect?{query}", data=body,
+        headers={"Content-Type": "image/jpeg"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
+        assert r.status == 200 and r.read() == b"ok"
+
+
+def test_detect_schema(server, rng):
+    status, out = _post(server.port, _jpeg_bytes(rng))
+    assert status == 200
+    assert isinstance(out["detections"], list)
+    for d in out["detections"]:
+        assert len(d["box"]) == 4 and isinstance(d["label"], int)
+        assert 0.0 <= d["score"] <= 1.0
+        x0, y0, x1, y1 = d["box"]  # pixel coords in the ORIGINAL frame
+        assert 0 <= x0 <= x1 <= 133 and 0 <= y0 <= y1 <= 97
+
+
+def test_min_score_filters(server, rng):
+    body = _jpeg_bytes(rng)
+    _, all_dets = _post(server.port, body, "min_score=0.0")
+    _, none = _post(server.port, body, "min_score=1.0")
+    assert len(none["detections"]) == 0
+    assert len(all_dets["detections"]) >= len(none["detections"])
+
+
+def test_concurrent_requests_are_batched(server, rng):
+    """Three near-simultaneous requests coalesce into one device dispatch
+    (the dynamic-batching contract): instrument predict and watch a call
+    carry more than one image."""
+    pred = server.predictor
+    calls = []
+    orig = pred.predict
+
+    def counting(images):
+        calls.append(len(images))
+        return orig(images)
+
+    pred.predict = counting
+    try:
+        bodies = [_jpeg_bytes(rng) for _ in range(3)]
+        results = [None] * 3
+
+        def go(i):
+            results[i] = _post(server.port, bodies[i])
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r is not None and r[0] == 200 for r in results)
+        assert max(calls) >= 2, f"no coalesced batch observed: {calls}"
+    finally:
+        pred.predict = orig
+
+
+def test_bad_image_400_does_not_poison_batch(server, rng):
+    """A corrupt upload fails alone with 400; a good request racing it
+    still succeeds."""
+    results = {}
+
+    def bad():
+        try:
+            _post(server.port, b"not a jpeg at all")
+            results["bad"] = 200
+        except urllib.error.HTTPError as e:
+            results["bad"] = e.code
+
+    def good():
+        results["good"] = _post(server.port, _jpeg_bytes(rng))[0]
+
+    tb, tg = threading.Thread(target=bad), threading.Thread(target=good)
+    tb.start(), tg.start()
+    tb.join(timeout=120), tg.join(timeout=120)
+    assert results["bad"] == 400
+    assert results["good"] == 200
+
+
+def test_unknown_path_404(server):
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/nope", timeout=30)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
