@@ -27,6 +27,10 @@ def main() -> None:
                     choices=["float32", "bfloat16"],
                     help="compute dtype of the fused augmentation stage "
                          "(DataConfig.augment_dtype)")
+    ap.add_argument("--config5", action="store_true",
+                    help="measure the config #5 per-chip slice instead: "
+                         "RetinaNet R101-FPN at 1024px (196k anchors), "
+                         "remat on (use with --batch 4)")
     args = ap.parse_args()
     batch_size = args.batch
     import jax
@@ -41,8 +45,13 @@ def main() -> None:
     from shape_based_object_detection_tpu.models.factory import build_model
 
     cfg = config_lib.get_config("config4_retinanet_r101_coco_train")
-    model_cfg = dataclasses.replace(
-        config_lib.RETINANET_R50_512, dtype="bfloat16")
+    if args.config5:
+        base = config_lib.get_config("config5_multihost_dp_train")
+        model_cfg = dataclasses.replace(base.model, dtype="bfloat16")
+        args.remat = True
+    else:
+        model_cfg = dataclasses.replace(
+            config_lib.RETINANET_R50_512, dtype="bfloat16")
     cfg = dataclasses.replace(
         cfg,
         model=model_cfg,
@@ -58,9 +67,10 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     g = cfg.data.max_boxes
+    size = model_cfg.image_size
     batch = {
         "images": jnp.asarray(
-            rng.integers(0, 255, (batch_size, SIZE, SIZE, 3), dtype=np.uint8)),
+            rng.integers(0, 255, (batch_size, size, size, 3), dtype=np.uint8)),
         "boxes": jnp.asarray(np.tile(
             np.asarray([0.2, 0.2, 0.7, 0.7], np.float32), (batch_size, g, 1))),
         "labels": jnp.asarray(rng.integers(1, 81, (batch_size, g)).astype(np.int32)),
@@ -82,8 +92,11 @@ def main() -> None:
     _ = float(metrics["loss_cls"])
     rtt = time.perf_counter() - r0
     dt = (t1 - t0 - rtt) / n
+    name = ("retinanet_r101_fpn_1024px_remat_train_images_per_sec_per_chip"
+            if args.config5 else
+            "retinanet_r50_fpn_512px_train_images_per_sec_per_chip")
     print(json.dumps({
-        "metric": "retinanet_r50_fpn_512px_train_images_per_sec_per_chip",
+        "metric": name,
         "value": round(batch_size / dt, 2),
         "unit": "images/sec",
         "loss": round(float(np.asarray(metrics["loss"])), 4),
