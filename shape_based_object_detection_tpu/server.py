@@ -178,7 +178,8 @@ class DetectionServer:
                 dets = [{
                     "box": [round(float(v), 2) for v in box],
                     "score": round(float(s), 5),
-                    "label": (names[int(l)] if names else int(l)),
+                    "label": (names[int(l)] if names and int(l) < len(names)
+                              else int(l)),
                 } for box, s, l in zip(det.boxes[keep], det.scores[keep],
                                        det.labels[keep])]
                 self._send(200, json.dumps({"detections": dets}).encode())
