@@ -1,0 +1,137 @@
+"""Quantization accuracy-drift ablation: train a detector on synthetic data,
+then evaluate the SAME weights through every serving tier — float, int8
+weight-only, full int8 (dynamic activation scales), and full int8 with
+calibrated static scales — and report the mAP of each.
+
+This quantifies the accuracy side of the int8 throughput tiers recorded in
+BASELINE.md (the reference family has no quantized path, so the drift bound
+is a first-party contract: tiers should track the float mAP closely on a
+converged model).
+
+    python tools/ablate_quantize.py --steps 400 [--config tiny_retinanet]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from shape_based_object_detection_tpu.utils.platform import (
+    honor_jax_platforms_env,
+)
+
+honor_jax_platforms_env()
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu import train as train_lib
+    from shape_based_object_detection_tpu.data.pipeline import Loader
+    from shape_based_object_detection_tpu.data.synthetic import (
+        SyntheticDetection,
+    )
+    from shape_based_object_detection_tpu.eval import Evaluator
+    from shape_based_object_detection_tpu.models.factory import build_model
+    from shape_based_object_detection_tpu.quantize import (
+        calibrate_activation_scales, make_serving_detect,
+    )
+    from shape_based_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="tiny_retinanet")
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--train-images", type=int, default=16)
+    p.add_argument("--eval-images", type=int, default=32)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--calib-batches", type=int, default=2)
+    args = p.parse_args(argv)
+
+    enable_compilation_cache()
+    cfg = config_lib.get_config(args.config)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, batch_size=args.batch,
+                                 photometric=False, expand=False,
+                                 random_crop=False, hflip=False),
+        train=dataclasses.replace(cfg.train, base_lr=0.02, warmup_steps=10),
+        model=dataclasses.replace(
+            cfg.model,
+            detect=dataclasses.replace(cfg.model.detect,
+                                       score_threshold=0.05)),
+    )
+    module, variables, anchors = build_model(cfg.model)
+    state = train_lib.create_train_state(module, variables, cfg)
+    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
+
+    ds = SyntheticDetection(size=cfg.model.image_size,
+                            num_images=args.train_images,
+                            num_classes=cfg.model.num_classes)
+    loader = Loader(ds, args.batch, cfg.data.max_boxes, shuffle=True)
+    print(f"training {args.steps} steps on {args.train_images} synthetic "
+          "images...", flush=True)
+    it, epoch = iter(loader.batches(epoch=0)), 0
+    for i in range(args.steps):
+        try:
+            batch = next(it)
+        except StopIteration:
+            epoch += 1
+            it = iter(loader.batches(epoch=epoch))
+            batch = next(it)
+        state, metrics = step_fn(state, batch._asdict())
+        if i % 100 == 0:
+            print(f"  step {i}: loss {float(metrics['loss']):.4f}",
+                  flush=True)
+    trained = {"params": state.params, **state.extra_vars}
+
+    eval_ds = SyntheticDetection(size=cfg.model.image_size,
+                                 num_images=args.eval_images,
+                                 num_classes=cfg.model.num_classes,
+                                 seed=1234)
+    eval_loader = Loader(eval_ds, args.batch, cfg.data.max_boxes,
+                         shuffle=False)
+    calib = [b.images for i, b in enumerate(eval_loader.batches())
+             if i < args.calib_batches]
+    scales = calibrate_activation_scales(module, trained, calib, cfg.data)
+
+    def eval_tier(mode, act_scales=None):
+        detect, variables = make_serving_detect(
+            module, anchors, cfg.model, cfg.data, trained, mode,
+            activation_scales=act_scales)
+        ev = Evaluator(area_scale=cfg.model.image_size)
+        for b in eval_loader.batches():
+            det = detect(variables, jnp.asarray(b.images))
+            ev.add_batch(det, b.boxes, b.labels - 1, b.valid)
+        coco, voc = ev.coco(), ev.voc()
+        return {"coco_mAP": round(coco["mAP"], 4),
+                "AP50": round(coco["AP50"], 4),
+                "voc_mAP": round(voc["mAP"], 4)}
+
+    rows = {}
+    for name, mode, sc in (("float", "", None), ("weights", "weights", None),
+                           ("full-dynamic", "full", None),
+                           ("full-static", "full", scales)):
+        rows[name] = eval_tier(mode, sc)
+        print(json.dumps({"tier": name, **rows[name]}), flush=True)
+
+    print("\n| tier | COCO mAP | AP50 | VOC mAP |")
+    print("|---|---|---|---|")
+    for name, r in rows.items():
+        print(f"| {name} | {r['coco_mAP']} | {r['AP50']} | {r['voc_mAP']} |")
+    drift = max(abs(rows[n]["coco_mAP"] - rows["float"]["coco_mAP"])
+                for n in rows)
+    print(f"\nmax |coco mAP drift| vs float: {drift:.4f}")
+
+
+if __name__ == "__main__":
+    main()
