@@ -338,6 +338,32 @@ def test_eval_cli_quantized(capsys):
     assert "mAP" in metrics
 
 
+def test_calibrate_tool_then_static_eval(tmp_path, capsys):
+    """The PTQ workflow end to end: tools/calibrate_scales.py writes a
+    scales JSON, eval_cli --quantize full --act-scales consumes it."""
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "tools"))
+    try:
+        import calibrate_scales
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "scales.json")
+    calibrate_scales.main(["--config", "tiny_retinanet", "--batches", "1",
+                           "--out", out])
+    capsys.readouterr()
+    assert json.load(open(out))  # non-empty {path: amax}
+
+    from shape_based_object_detection_tpu.cli.eval_cli import main
+
+    main(["--config", "tiny_retinanet", "--protocol", "voc",
+          "--max-batches", "1", "--quantize", "full", "--act-scales", out])
+    metrics = json.loads(capsys.readouterr().out)
+    assert "mAP" in metrics
+
+
 def test_train_cli_stale_checkpoint_clear_error(tmp_path, capsys):
     """A checkpoint dir written by a different config fails with a clear
     SystemExit, not an orbax structure dump."""
