@@ -32,6 +32,11 @@ def main(argv=None):
                    help="with --quantize full: calibrated scales JSON "
                         "(tools/calibrate_scales.py)")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--bucket-sizes", default="auto",
+                   help="comma-separated batch buckets (small requests pad "
+                        "only to the smallest fitting bucket — less H2D + "
+                        "compute at low load); 'auto' = powers of 2 up to "
+                        "--batch-size; 'none' = single fixed batch")
     p.add_argument("--batch-window-ms", type=float, default=5.0,
                    help="how long the first request of a batch waits for "
                         "co-riders before dispatching")
@@ -95,19 +100,30 @@ def main(argv=None):
             variables = {"params": params, **restored.extra_vars}
         elif args.ema:
             raise SystemExit("--ema requires --checkpoint-dir")
+        if args.bucket_sizes == "auto":
+            buckets = [b for b in (1, 2, 4, 8, 16, 32, 64)
+                       if b < args.batch_size] + [args.batch_size]
+        elif args.bucket_sizes in ("none", ""):
+            buckets = None
+        else:
+            buckets = [int(b) for b in args.bucket_sizes.split(",")]
         pred = Predictor(cfg, variables=variables,
                          batch_size=args.batch_size,
                          quantize=args.quantize,
-                         activation_scales=args.act_scales or None)
+                         activation_scales=args.act_scales or None,
+                         bucket_sizes=buckets)
 
     from shape_based_object_detection_tpu.server import DetectionServer
 
+    print("compiling (one program per batch bucket)...", flush=True)
+    pred.warmup()
     server = DetectionServer(pred, host=args.host, port=args.port,
                              batch_window_ms=args.batch_window_ms,
                              class_names=names)
     server.verbose = args.verbose
+    buckets_msg = getattr(pred, "bucket_sizes", None) or [pred.batch_size]
     print(f"serving on http://{args.host}:{server.port}/detect "
-          f"(batch={pred.batch_size}, window={args.batch_window_ms}ms); "
+          f"(batch buckets={buckets_msg}, window={args.batch_window_ms}ms); "
           "GET /healthz for readiness", flush=True)
     try:
         server.serve_forever()

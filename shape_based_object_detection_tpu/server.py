@@ -69,34 +69,65 @@ class _Batcher:
         self._stop.set()
         self._thread.join(timeout=5)
 
-    def _loop(self) -> None:
+    def _gather(self, block_s: float):
+        """One batch's worth of requests: the first request (waited for up
+        to ``block_s``) opens the collection window."""
         import time
 
-        while not self._stop.is_set():
+        try:
+            first = self._q.get(timeout=block_s)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = time.monotonic() + self._window_s
+        while len(items) < self._pred.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                first = self._q.get(timeout=0.05)
+                items.append(self._q.get(timeout=remaining))
             except queue.Empty:
-                continue
-            items = [first]
-            deadline = time.monotonic() + self._window_s
-            while len(items) < self._pred.batch_size:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
+                break
+        return items
+
+    @staticmethod
+    def _resolve(pending_items, dets) -> None:
+        for r, det in zip(pending_items, dets):
+            r.result = det
+            r.event.set()
+
+    def _fail(self, items, e: Exception) -> None:
+        for r in items:
+            r.error = f"{type(e).__name__}: {e}"
+            r.event.set()
+
+    def _loop(self) -> None:
+        # Double-buffered: while batch i runs on the device, batch i+1 is
+        # gathered and DISPATCHED (submit is async) before batch i's
+        # blocking readback — host prepare/H2D overlaps device execution,
+        # exactly Predictor's submit/poll contract.
+        pending = None  # (items,) currently on the device
+        while not self._stop.is_set():
+            # with work in flight, only peek briefly for co-riders;
+            # otherwise idle-wait for the next request
+            items = self._gather(0.002 if pending else 0.05)
+            if items:
                 try:
-                    items.append(self._q.get(timeout=remaining))
-                except queue.Empty:
-                    break
+                    self._pred.submit([r.payload for r in items])
+                except Exception as e:
+                    self._fail(items, e)
+                    items = []
+            if pending is not None:
+                try:
+                    self._resolve(pending, self._pred.poll())
+                except Exception as e:
+                    self._fail(pending, e)
+            pending = items or None
+        if pending is not None:  # drain on shutdown
             try:
-                dets = self._pred.predict([r.payload for r in items])
-            except Exception as e:  # decode/shape errors: fail THIS batch
-                for r in items:
-                    r.error = f"{type(e).__name__}: {e}"
-                    r.event.set()
-                continue
-            for r, det in zip(items, dets):
-                r.result = det
-                r.event.set()
+                self._resolve(pending, self._pred.poll())
+            except Exception as e:
+                self._fail(pending, e)
 
 
 class DetectionServer:
@@ -150,22 +181,25 @@ class DetectionServer:
                 except ValueError:
                     self._send(400, b'{"error": "bad min_score"}')
                     return
-                # Decode HERE, on the request thread: a corrupt upload 400s
-                # on its own instead of failing the co-batched requests,
-                # and decode work parallelizes off the device thread.
+                # Decode+resize HERE, on the request thread (fused C JPEG
+                # decode when available): a corrupt upload 400s on its own
+                # instead of failing the co-batched requests, and the
+                # per-image host work parallelizes across request threads
+                # instead of serializing on the device thread.
                 try:
-                    import io
+                    from shape_based_object_detection_tpu.utils.image import (
+                        load_resized_image_host,
+                    )
 
-                    import numpy as np
-                    from PIL import Image
-
-                    img = np.asarray(
-                        Image.open(io.BytesIO(body)).convert("RGB"))
+                    pred = server_ref[0].predictor
+                    resized, h, w = load_resized_image_host(
+                        body, pred.size, pred.letterbox,
+                        backend=pred.decode_backend)
                 except Exception as e:
                     self._send(400, json.dumps(
                         {"error": f"undecodable image: {e}"}).encode())
                     return
-                req = batcher.submit(img)
+                req = batcher.submit((resized, (h, w)))
                 if not req.event.wait(timeout=timeout_s):
                     self._send(504, b'{"error": "detection timed out"}')
                     return

@@ -38,7 +38,11 @@ def prepare_batch(images: Sequence, size: int, batch_size: int,
     path, or encoded image bytes — path/bytes JPEGs take the fused native
     decode+resize (csrc/jpeg_decoder.cpp, DCT-domain prescale; the fast
     serving ingest) unless ``decode_backend='pil'`` (DataConfig semantics).
-    Returns (batch (B,S,S,3) uint8, original (h, w) sizes)."""
+    An item may also be a PRE-RESIZED pair ``((S, S, 3) uint8, (h, w))`` —
+    the caller already ran the decode+resize (e.g. the HTTP server does it
+    on its request threads, in parallel) and supplies the original size for
+    the box back-mapping. Returns (batch (B,S,S,3) uint8, original (h, w)
+    sizes)."""
     from PIL import Image
 
     from shape_based_object_detection_tpu.utils.image import (
@@ -49,6 +53,12 @@ def prepare_batch(images: Sequence, size: int, batch_size: int,
     batch = np.zeros((batch_size, size, size, 3), np.uint8)
     sizes = []
     for i, img in enumerate(images):
+        if isinstance(img, tuple):  # (pre-resized array, (h, w))
+            resized, (h, w) = img
+            assert resized.shape == (size, size, 3), resized.shape
+            batch[i] = resized
+            sizes.append((int(h), int(w)))
+            continue
         if not isinstance(img, np.ndarray):
             batch[i], h, w = load_resized_image_host(
                 img, size, letterbox, backend=decode_backend)
@@ -90,7 +100,7 @@ class Predictor:
 
     def __init__(self, cfg: ExperimentConfig, variables=None, batch_size: int = 8,
                  min_score: float = 0.0, quantize: bool | str = False,
-                 activation_scales=None):
+                 activation_scales=None, bucket_sizes=None):
         """``quantize``: False | True/"weights" (int8 weight-only: ~4x
         smaller HBM weights, dequant on-chip) | "full" (additionally runs
         eligible convs as s8xs8->s32 on the MXU with dynamic activation
@@ -98,9 +108,22 @@ class Predictor:
         ``activation_scales``: with quantize="full", a calibration dict from
         ``quantize.calibrate_activation_scales`` (or a path to its saved
         JSON) switches the int8 convs to static scales — removes the
-        on-chip abs-max reductions (the batch-1 latency tier)."""
+        on-chip abs-max reductions (the batch-1 latency tier).
+        ``bucket_sizes``: optional batch-size buckets (e.g. (1, 4, 16)):
+        each request chunk pads only to the smallest bucket >= its size
+        instead of the full ``batch_size`` — small requests skip most of
+        the padded batch's H2D transfer and compute (one compile per
+        bucket; ``warmup()`` pre-compiles them all). None = the single
+        compiled ``batch_size`` (fixed-shape default)."""
         self.cfg = cfg
         self.batch_size = batch_size
+        if bucket_sizes is not None:
+            bucket_sizes = sorted(set(int(b) for b in bucket_sizes))
+            if not bucket_sizes or bucket_sizes[-1] != batch_size:
+                raise ValueError(
+                    f"bucket_sizes {bucket_sizes} must be non-empty and end "
+                    f"at batch_size={batch_size}")
+        self.bucket_sizes = bucket_sizes
         self.min_score = min_score
         self.size = cfg.model.image_size
         self.letterbox = cfg.data.letterbox
@@ -121,21 +144,39 @@ class Predictor:
         self._detect, self.variables = make_serving_detect(
             module, anchors, cfg.model, cfg.data, self.variables, quantize,
             activation_scales=activation_scales)
-        self._pending: Optional[Tuple] = None
+        self._pending: List[Tuple] = []  # FIFO of in-flight dispatches
+
+    def _bucket_for(self, n: int) -> int:
+        """Smallest compiled batch that fits n requests."""
+        if self.bucket_sizes is None:
+            return self.batch_size
+        for b in self.bucket_sizes:
+            if n <= b:
+                return b
+        return self.batch_size
+
+    def warmup(self) -> None:
+        """Compile every bucket (and the default batch) up front, so the
+        first real request at each size doesn't pay XLA compilation."""
+        dummy = np.zeros((8, 8, 3), np.uint8)
+        for b in (self.bucket_sizes or [self.batch_size]):
+            self.submit([dummy] * b)
+            self.poll()
 
     def submit(self, images: Sequence) -> None:
-        """Dispatch a batch without blocking (device runs while host works)."""
-        assert self._pending is None, "poll() the previous batch first"
-        batch, sizes = prepare_batch(images, self.size, self.batch_size,
+        """Dispatch a batch without blocking (device runs while host works).
+        Multiple batches may be in flight; ``poll()`` returns them FIFO."""
+        batch, sizes = prepare_batch(images, self.size,
+                                     self._bucket_for(len(images)),
                                      self.letterbox, self.decode_backend)
         det = self._detect(self.variables, jnp.asarray(batch))  # async
-        self._pending = (det, sizes)
+        self._pending.append((det, sizes))
 
     def poll(self) -> List[Detection]:
-        """Block on the in-flight batch and return unpadded detections."""
-        assert self._pending is not None
-        det, sizes = self._pending
-        self._pending = None
+        """Block on the OLDEST in-flight batch and return its unpadded
+        detections (FIFO with submit)."""
+        assert self._pending, "submit() a batch first"
+        det, sizes = self._pending.pop(0)
         return unpack_detections(det, sizes, self.min_score, self.letterbox)
 
     def predict(self, images: Sequence) -> List[Detection]:
@@ -147,8 +188,9 @@ class Predictor:
         out: List[Detection] = []
         pending: Optional[Tuple] = None
         for i in range(0, len(images), self.batch_size):
-            batch, sizes = prepare_batch(images[i:i + self.batch_size],
-                                         self.size, self.batch_size,
+            chunk = images[i:i + self.batch_size]
+            batch, sizes = prepare_batch(chunk, self.size,
+                                         self._bucket_for(len(chunk)),
                                          self.letterbox,
                                          self.decode_backend)
             det = self._detect(self.variables, jnp.asarray(batch))  # async
@@ -175,6 +217,25 @@ class ArtifactPredictor:
         self.batch_size = self._model.header["batch_size"]
         self.letterbox = bool(self._model.header.get("letterbox", False))
         self.decode_backend = "auto"  # artifact headers predate the knob
+        self._pending: List[Tuple] = []  # FIFO, mirrors Predictor
+
+    def submit(self, images: Sequence) -> None:
+        """Async dispatch (FIFO with poll) — the artifact has ONE compiled
+        batch shape, so every submit pads to it (no buckets)."""
+        batch, sizes = prepare_batch(images, self.size, self.batch_size,
+                                     self.letterbox, self.decode_backend)
+        self._pending.append((self._model(batch), sizes))
+
+    def poll(self) -> List[Detection]:
+        assert self._pending, "submit() a batch first"
+        det, sizes = self._pending.pop(0)
+        return unpack_detections(det, sizes, self.min_score, self.letterbox)
+
+    def warmup(self) -> None:
+        import numpy as np
+
+        self.submit([np.zeros((8, 8, 3), np.uint8)])
+        self.poll()
 
     def predict(self, images: Sequence) -> List[Detection]:
         # same prepare->dispatch->readback pipeline as Predictor.predict

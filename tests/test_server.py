@@ -77,13 +77,13 @@ def test_concurrent_requests_are_batched(server, rng):
     carry more than one image."""
     pred = server.predictor
     calls = []
-    orig = pred.predict
+    orig = pred.submit
 
     def counting(images):
         calls.append(len(images))
         return orig(images)
 
-    pred.predict = counting
+    pred.submit = counting
     try:
         bodies = [_jpeg_bytes(rng) for _ in range(3)]
         results = [None] * 3
@@ -99,7 +99,7 @@ def test_concurrent_requests_are_batched(server, rng):
         assert all(r is not None and r[0] == 200 for r in results)
         assert max(calls) >= 2, f"no coalesced batch observed: {calls}"
     finally:
-        pred.predict = orig
+        pred.submit = orig
 
 
 def test_bad_image_400_does_not_poison_batch(server, rng):

@@ -42,3 +42,51 @@ def test_predictor_chunks_large_requests(rng):
     solo = pred.predict([imgs[3]])[0]
     np.testing.assert_allclose(out[3].boxes, solo.boxes, atol=1e-5)
     np.testing.assert_allclose(out[3].scores, solo.scores, atol=1e-5)
+
+
+def test_bucketed_predictor_matches_fixed(rng):
+    """Batch-size bucketing is invisible to results: padding a request to
+    the smallest fitting bucket returns the same detections as padding to
+    the full compiled batch (per-image independence of the program)."""
+    cfg = config_lib.get_config("tiny_retinanet")
+    imgs = [rng.integers(0, 255, (60 + 7 * i, 80, 3)).astype(np.uint8)
+            for i in range(3)]
+    fixed = Predictor(cfg, batch_size=4)
+    bucketed = Predictor(cfg, batch_size=4, bucket_sizes=(1, 2, 4))
+    bucketed.warmup()
+    for n in (1, 3):
+        a = fixed.predict(imgs[:n])
+        b = bucketed.predict(imgs[:n])
+        assert len(a) == len(b) == n
+        for da, db in zip(a, b):
+            np.testing.assert_array_equal(da.boxes, db.boxes)
+            np.testing.assert_array_equal(da.scores, db.scores)
+            np.testing.assert_array_equal(da.labels, db.labels)
+
+
+def test_submit_poll_fifo_two_in_flight(rng):
+    """Two batches may be in flight at once (the HTTP batcher's
+    double-buffering contract); poll() returns them in submit order."""
+    cfg = config_lib.get_config("tiny_retinanet")
+    pred = Predictor(cfg, batch_size=2)
+    a = rng.integers(0, 255, (50, 70, 3)).astype(np.uint8)
+    b = rng.integers(0, 255, (90, 40, 3)).astype(np.uint8)
+    pred.submit([a])
+    pred.submit([b, b])
+    first = pred.poll()
+    second = pred.poll()
+    assert len(first) == 1 and len(second) == 2
+    ref = pred.predict([a])[0]
+    np.testing.assert_array_equal(first[0].boxes, ref.boxes)
+
+
+def test_prepare_batch_preresized_pair(rng):
+    """The ((S,S,3), (h,w)) fast-path item: boxes map back to the supplied
+    ORIGINAL size, not the resized canvas (the HTTP server's ingest)."""
+    from shape_based_object_detection_tpu.serving import prepare_batch
+
+    size = config_lib.get_config("tiny_retinanet").model.image_size
+    resized = rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+    batch, sizes = prepare_batch([(resized, (480, 640))], size, 2)
+    assert batch.shape[0] == 2 and sizes == [(480, 640)]
+    np.testing.assert_array_equal(batch[0], resized)

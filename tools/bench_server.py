@@ -45,6 +45,9 @@ def main(argv=None):
                    choices=["", "weights", "full", "full-static"])
     p.add_argument("--image-px", type=int, default=640,
                    help="source image edge (decoded+resized per request)")
+    p.add_argument("--no-buckets", dest="buckets", action="store_false",
+                   help="disable batch-size bucketing (pad everything to "
+                        "--batch-size)")
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -77,10 +80,12 @@ def main(argv=None):
                                                  cfg.data)
         quantize = "full"
 
+    buckets = ([b for b in (1, 2, 4, 8, 16, 32, 64)
+                if b < args.batch_size] + [args.batch_size]
+               if args.buckets else None)
     pred = Predictor(cfg, batch_size=args.batch_size, quantize=quantize,
-                     activation_scales=act_scales)
-    # warm both the full-batch program and the decode path
-    pred.predict([np.zeros((64, 64, 3), np.uint8)] * args.batch_size)
+                     activation_scales=act_scales, bucket_sizes=buckets)
+    pred.warmup()  # compile every bucket up front
 
     server = DetectionServer(pred, port=0,
                              batch_window_ms=args.batch_window_ms)
