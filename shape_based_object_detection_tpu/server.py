@@ -220,7 +220,14 @@ class DetectionServer:
 
         server_ref = [self]
         self.verbose = False
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+
+        class _Server(ThreadingHTTPServer):
+            # default listen backlog (5) drops connections under concurrent
+            # load (observed: resets at 32 simultaneous clients)
+            request_queue_size = 128
+            daemon_threads = True
+
+        self._httpd = _Server((host, port), Handler)
         self._serve_thread: Optional[threading.Thread] = None
 
     @property
