@@ -216,7 +216,9 @@ class DetectionServer:
                               else int(l)),
                 } for box, s, l in zip(det.boxes[keep], det.scores[keep],
                                        det.labels[keep])]
-                self._send(200, json.dumps({"detections": dets}).encode())
+                self._send(200, json.dumps({
+                    "detections": dets, "width": int(w), "height": int(h),
+                }).encode())
 
         server_ref = [self]
         self.verbose = False
