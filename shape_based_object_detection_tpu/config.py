@@ -184,7 +184,8 @@ class TrainConfig:
     checkpoint_dir: str = "/tmp/sbd_ckpt"
     keep_checkpoints: int = 3
     seed: int = 0
-    num_data_hosts: int = 1
+    # (host count is runtime state — jax.process_count() — not config; the
+    # per-host Loader shard comes from parallel/mesh.py + Loader(host_id=...))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -356,7 +357,7 @@ def _preset_5() -> ExperimentConfig:
                           allow_low_quality=True),
         loss=LossConfig(kind="focal"),
         train=TrainConfig(base_lr=0.04, total_steps=45_000,
-                          lr_decay_steps=(30_000, 40_000), num_data_hosts=4,
+                          lr_decay_steps=(30_000, 40_000),
                           remat=True),
     )
 
