@@ -37,8 +37,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-8
-_TILE_A = 512
 _LANES = 128
+
+# Anchor-tile size: bigger tiles amortize grid/dispatch overhead (measured
+# 1x v5e, B=16 A=49k gp=128: TA 512 -> 5.82 ms, 1024 -> 5.35, 2048 -> 4.75,
+# 3072 -> 4.61, 4096 -> VMEM OOM at the 16 MB scoped limit, 19.1 MB). The
+# kernel's live VMEM scales with gp*TA (~40 B/element from that OOM
+# datapoint incl. double buffering), so the tile adapts to the padded GT
+# count with a conservative budget instead of a fixed constant.
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+_BYTES_PER_QELEM = 40
+
+
+def _pick_tile_a(gp: int) -> int:
+    for ta in (2048, 1024, 512):
+        if _BYTES_PER_QELEM * gp * ta <= _VMEM_BUDGET_BYTES:
+            return ta
+    return 256
 
 # anchor pack rows (16, A): xyxy corners, area, log w/h, cxcywh
 _A_X0, _A_Y0, _A_X1, _A_Y1, _A_AREA, _A_LW, _A_LH = range(7)
@@ -166,8 +181,9 @@ def match_reductions_pallas(
 
     b, g_n = gt_valid.shape
     a_n = anchors_cxcywh.shape[0]
-    ap = _round_up(max(a_n, _TILE_A), _TILE_A)
     gp = _round_up(max(g_n, _LANES), _LANES)
+    tile_a = _pick_tile_a(gp)
+    ap = _round_up(max(a_n, tile_a), tile_a)
 
     # area from the xyxy corners (exactly box_area(cxcywh_to_xyxy(a)), as the
     # jnp IoU path computes it) but log w/h from the ORIGINAL cxcywh extents
@@ -192,15 +208,15 @@ def match_reductions_pallas(
 
     kernel = functools.partial(
         _match_kernel, shape_weight=float(shape_weight), tau=float(tau),
-        a_real=a_n, tile_a=_TILE_A, vc=float(variances[0]),
+        a_real=a_n, tile_a=tile_a, vc=float(variances[0]),
         vs=float(variances[1]))
-    n_tiles = ap // _TILE_A
+    n_tiles = ap // tile_a
     vmem = pltpu.VMEM
     best_q, best_g, _gt_q, gt_a, label, reg = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((_A_ROWS, _TILE_A), lambda i, j: (0, j),
+            pl.BlockSpec((_A_ROWS, tile_a), lambda i, j: (0, j),
                          memory_space=vmem),
             pl.BlockSpec((1, gp, _G_COLS), lambda i, j: (i, 0, 0),
                          memory_space=vmem),
@@ -208,17 +224,17 @@ def match_reductions_pallas(
         out_specs=[
             # (B, 1, N) with block (1, 1, tile): TPU lowering needs the
             # block's second-to-last dim to be 8-divisible or span the array
-            pl.BlockSpec((1, 1, _TILE_A), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 1, tile_a), lambda i, j: (i, 0, j),
                          memory_space=vmem),
-            pl.BlockSpec((1, 1, _TILE_A), lambda i, j: (i, 0, j),
-                         memory_space=vmem),
-            pl.BlockSpec((1, 1, gp), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, tile_a), lambda i, j: (i, 0, j),
                          memory_space=vmem),
             pl.BlockSpec((1, 1, gp), lambda i, j: (i, 0, 0),
                          memory_space=vmem),
-            pl.BlockSpec((1, 1, _TILE_A), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 1, gp), lambda i, j: (i, 0, 0),
                          memory_space=vmem),
-            pl.BlockSpec((1, _TILE_A, 4), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, tile_a), lambda i, j: (i, 0, j),
+                         memory_space=vmem),
+            pl.BlockSpec((1, tile_a, 4), lambda i, j: (i, j, 0),
                          memory_space=vmem),
         ],
         out_shape=[
