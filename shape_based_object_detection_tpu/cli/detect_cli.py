@@ -45,14 +45,15 @@ def main(argv=None):
 
     import os
 
-    if args.artifact and (args.quantize or args.int8_activations):
+    if args.artifact and (args.quantize or args.int8_activations
+                          or args.act_scales):
         # an artifact's program is frozen at export; silently running the
         # float artifact would make an int8-vs-float comparison measure
         # nothing — tools/export_model.py bakes the quantization mode in
         raise SystemExit(
-            "--quantize/--int8-activations cannot modify an exported "
-            "--artifact; export with tools/export_model.py --quantize "
-            "[--int8-activations] instead")
+            "--quantize/--int8-activations/--act-scales cannot modify an "
+            "exported --artifact; export with tools/export_model.py "
+            "--quantize [--int8-activations] [--act-scales] instead")
 
     is_dir = os.path.isdir(args.image)
     if is_dir:
@@ -120,39 +121,16 @@ def _build_runner(args):
 
         return run
     else:
-        import dataclasses
-
         cfg = config_lib.resolve_config(args.config, args.overrides)
         module, variables, anchors = build_model(cfg.model)
 
         if args.checkpoint_dir:
-            from shape_based_object_detection_tpu import train as train_lib
-            from shape_based_object_detection_tpu.checkpoint import (
-                CheckpointManager,
+            from shape_based_object_detection_tpu.cli.common import (
+                restore_checkpoint_variables,
             )
 
-            if args.ema and cfg.train.ema_decay == 0:
-                # restore template must carry the EMA subtree to match a
-                # checkpoint trained with --ema-decay
-                cfg = dataclasses.replace(
-                    cfg, train=dataclasses.replace(cfg.train, ema_decay=0.99))
-            state = train_lib.create_train_state(module, variables, cfg)
-            restored = CheckpointManager(
-                args.checkpoint_dir).restore_latest(state)
-            if restored is None:
-                # random weights emit garbage detections that look like
-                # output — a typo'd path must fail loud
-                raise SystemExit(
-                    f"no checkpoint found in {args.checkpoint_dir!r} — "
-                    "check the path (omit --checkpoint-dir to run "
-                    "fresh-initialized weights deliberately)")
-            if args.ema and restored.ema_params is None:
-                raise SystemExit(
-                    "--ema: checkpoint has no EMA weights (train with "
-                    "--ema-decay > 0)")
-            params = (restored.ema_params if args.ema
-                      else restored.params)
-            variables = {"params": params, **restored.extra_vars}
+            variables = restore_checkpoint_variables(
+                cfg, module, variables, args.checkpoint_dir, ema=args.ema)
 
         if args.int8_activations and not args.quantize:
             raise SystemExit("--int8-activations requires --quantize")

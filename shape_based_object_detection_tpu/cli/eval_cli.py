@@ -60,19 +60,14 @@ def main(argv=None):
             cfg, data=dataclasses.replace(cfg.data, dataset=args.dataset))
     module, variables, anchors = build_model(cfg.model)
     if args.checkpoint_dir:
-        from shape_based_object_detection_tpu import train as train_lib
-        from shape_based_object_detection_tpu.checkpoint import CheckpointManager
+        from shape_based_object_detection_tpu.cli.common import (
+            restore_checkpoint_variables,
+        )
 
-        state = train_lib.create_train_state(module, variables, cfg)
-        restored = CheckpointManager(args.checkpoint_dir).restore_latest(state)
-        if restored is None:
-            # evaluating fresh random weights prints a plausible-looking
-            # near-zero mAP — a typo'd path must fail loud, not mislead
-            raise SystemExit(
-                f"no checkpoint found in {args.checkpoint_dir!r} — check the "
-                "path (omit --checkpoint-dir to eval fresh-initialized "
-                "weights deliberately)")
-        variables = {"params": restored.params, **restored.extra_vars}
+        variables = restore_checkpoint_variables(
+            cfg, module, variables, args.checkpoint_dir)
+    if args.act_scales and args.quantize != "full":
+        raise SystemExit("--act-scales requires --quantize full")
 
     from shape_based_object_detection_tpu.quantize import make_serving_detect
 

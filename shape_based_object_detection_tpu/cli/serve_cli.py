@@ -80,29 +80,21 @@ def main(argv=None):
         cfg = config_lib.resolve_config(args.config, args.overrides)
         variables = None
         if args.checkpoint_dir:
-            from shape_based_object_detection_tpu import train as train_lib
-            from shape_based_object_detection_tpu.checkpoint import (
-                CheckpointManager,
+            from shape_based_object_detection_tpu.cli.common import (
+                restore_checkpoint_variables,
             )
 
             module, variables0, _ = build_model(cfg.model)
-            state = train_lib.create_train_state(module, variables0, cfg)
-            restored = CheckpointManager(
-                args.checkpoint_dir).restore_latest(state)
-            if restored is None:
-                raise SystemExit(
-                    f"no checkpoint found in {args.checkpoint_dir!r} — "
-                    "check the path (omit --checkpoint-dir to serve "
-                    "fresh-initialized weights deliberately)")
-            if args.ema and restored.ema_params is None:
-                raise SystemExit("--ema: checkpoint has no EMA weights")
-            params = restored.ema_params if args.ema else restored.params
-            variables = {"params": params, **restored.extra_vars}
+            variables = restore_checkpoint_variables(
+                cfg, module, variables0, args.checkpoint_dir, ema=args.ema)
         elif args.ema:
             raise SystemExit("--ema requires --checkpoint-dir")
+        from shape_based_object_detection_tpu.serving import (
+            default_bucket_sizes,
+        )
+
         if args.bucket_sizes == "auto":
-            buckets = [b for b in (1, 2, 4, 8, 16, 32, 64)
-                       if b < args.batch_size] + [args.batch_size]
+            buckets = default_bucket_sizes(args.batch_size)
         elif args.bucket_sizes in ("none", ""):
             buckets = None
         else:

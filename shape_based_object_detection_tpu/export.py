@@ -64,7 +64,8 @@ def export_detect(
     activation scales, or calibrated static ones when ``activation_scales``
     (a ``quantize.calibrate_activation_scales`` dict or saved JSON path) is
     given: the scales become baked constants, removing the on-chip abs-max
-    reductions (the batch-1 latency artifact).
+    reductions (the measured batch-throughput serving artifact —
+    BASELINE.md).
     """
     if int8_activations and not quantize:
         raise ValueError("int8_activations=True requires quantize=True (it "

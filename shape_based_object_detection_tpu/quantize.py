@@ -144,15 +144,22 @@ def _module_path_key(module) -> str:
 
 def _conv_eligible(lhs, kernel_size, in_features: int, features: int,
                    min_size: int, groups: int = 1) -> bool:
-    """Mirror of the runtime eligibility test in the int8 conv impls, but
-    computable BEFORE the conv runs (from the module + its input): 2D conv,
-    kernel at least ``min_size`` elements, float input. ``groups`` is the
-    conv's feature_group_count (HWIO kernel in-dim is in/groups)."""
+    """Mirror of the runtime SIZE/RANK eligibility test in the int8 conv
+    impls, computable BEFORE the conv runs (from the module + its input):
+    2D conv with a kernel of at least ``min_size`` elements. ``groups`` is
+    the conv's feature_group_count (HWIO kernel in-dim is in/groups).
+
+    Deliberately NO dtype test here: flax promotes the nn.Conv input before
+    the lax conv, so the pre-promotion dtype can differ from what the impls
+    see — the impls themselves re-check the (post-promotion) operand dtype
+    and pass ineligible convs through, keeping the static and dynamic tiers
+    quantizing the identical conv set."""
     import numpy as np
 
+    del lhs  # shape-independent; kept for call-site symmetry
     if isinstance(kernel_size, int):  # flax accepts a bare int for NxN
         kernel_size = (kernel_size, kernel_size)
-    if len(kernel_size) != 2 or jnp.issubdtype(lhs.dtype, jnp.integer):
+    if len(kernel_size) != 2:
         return False
     ksize = (int(np.prod(kernel_size)) * (int(in_features) // int(groups))
              * int(features))
@@ -197,8 +204,10 @@ def _int8_static_conv(orig_conv, min_size: int, act_scale: float):
     """Static-scale twin of :func:`_int8_dynamic_conv`: the activation scale
     is a CALIBRATED compile-time constant (``act_scale`` = calibration
     abs-max / 127), so the per-batch abs-max reduction — the serialized
-    critical-path cost that makes dynamic int8 lose at batch 1 — disappears.
-    Activations beyond the calibration range clip to +-127 (standard PTQ)."""
+    critical-path cost that makes dynamic int8 lose at small batch —
+    disappears (measured: the batch-serving throughput champion;
+    BASELINE.md). Activations beyond the calibration range clip to +-127
+    (standard PTQ)."""
     ls = float(act_scale)
 
     def conv(lhs, rhs, *args, **kwargs):
@@ -373,10 +382,16 @@ def calibrate_activation_scales(module, variables, batches, data_cfg=None,
         return records
 
     amaxes = {}
+    n_batches = 0
     for images in batches:
+        n_batches += 1
         rec = jax.device_get(one_batch(variables, jnp.asarray(images)))
         for k, v in rec.items():
             amaxes[k] = max(amaxes.get(k, 0.0), float(v))
+    if n_batches == 0:
+        raise ValueError("calibration received no batches — check the data "
+                         "feed (e.g. a dataset smaller than the batch size "
+                         "yields zero full batches)")
     if not amaxes:
         raise ValueError("calibration saw no eligible convs — check the "
                          "model/skip_fn/min_size")
@@ -414,7 +429,9 @@ def make_quantized_detect_fn(module, anchors_cxcywh, cfg, data_cfg=None,
     scales (no calibration needed); the final prediction convs stay float.
     ``activation_scales`` (a :func:`calibrate_activation_scales` dict)
     switches those convs to calibrated STATIC scales — compile-time
-    constants, no on-chip abs-max reductions (the batch-1 latency tier).
+    constants, no on-chip abs-max reductions: the measured batch-serving
+    THROUGHPUT tier, and it repairs dynamic-full's batch-1 collapse
+    (weight-only remains the batch-1 latency pick — BASELINE.md).
     """
     from flax import linen as nn
 

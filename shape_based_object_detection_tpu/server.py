@@ -34,6 +34,11 @@ from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
 
+# Reject absurd uploads before buffering them (an encoded image is a few
+# MB at most; this is a decode service, not an upload endpoint).
+MAX_BODY_BYTES = 32 * 1024 * 1024
+
+
 class _Request:
     __slots__ = ("payload", "event", "result", "error")
 
@@ -123,11 +128,20 @@ class _Batcher:
                 except Exception as e:
                     self._fail(pending, e)
             pending = items or None
-        if pending is not None:  # drain on shutdown
+        if pending is not None:  # drain the in-flight batch on shutdown
             try:
                 self._resolve(pending, self._pred.poll())
             except Exception as e:
                 self._fail(pending, e)
+        # fail anything still queued so its handler thread doesn't hang
+        # for the full request timeout
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "server shutting down"
+            req.event.set()
 
 
 class DetectionServer:
@@ -173,6 +187,11 @@ class DetectionServer:
                     n = 0
                 if n <= 0:
                     self._send(400, b'{"error": "empty body"}')
+                    return
+                if n > MAX_BODY_BYTES:  # an image is a few MB at most
+                    self._send(413, json.dumps({
+                        "error": f"body too large ({n} bytes; max "
+                                 f"{MAX_BODY_BYTES})"}).encode())
                     return
                 body = self.rfile.read(n)
                 qs = parse_qs(parsed.query)

@@ -55,7 +55,16 @@ def prepare_batch(images: Sequence, size: int, batch_size: int,
     for i, img in enumerate(images):
         if isinstance(img, tuple):  # (pre-resized array, (h, w))
             resized, (h, w) = img
-            assert resized.shape == (size, size, 3), resized.shape
+            resized = np.asarray(resized)
+            # real raises (not asserts): survives python -O, and a float
+            # array must not be silently value-truncated into uint8
+            if resized.shape != (size, size, 3):
+                raise ValueError(
+                    f"pre-resized item has shape {resized.shape}, expected "
+                    f"({size}, {size}, 3)")
+            if resized.dtype != np.uint8:
+                raise ValueError(
+                    f"pre-resized item must be uint8, got {resized.dtype}")
             batch[i] = resized
             sizes.append((int(h), int(w)))
             continue
@@ -95,6 +104,13 @@ def unpack_detections(det, sizes, min_score: float = 0.0,
     return out
 
 
+def default_bucket_sizes(batch_size: int) -> list:
+    """The standard bucket ladder: powers of 2 up to (and always including)
+    ``batch_size`` — shared by serve_cli and the load-test tool."""
+    return [b for b in (1, 2, 4, 8, 16, 32, 64)
+            if b < batch_size] + [batch_size]
+
+
 class Predictor:
     """detect() as a service: fixed batch, padded, async-dispatch friendly."""
 
@@ -108,7 +124,8 @@ class Predictor:
         ``activation_scales``: with quantize="full", a calibration dict from
         ``quantize.calibrate_activation_scales`` (or a path to its saved
         JSON) switches the int8 convs to static scales — removes the
-        on-chip abs-max reductions (the batch-1 latency tier).
+        on-chip abs-max reductions (the measured batch-throughput serving
+        champion; BASELINE.md).
         ``bucket_sizes``: optional batch-size buckets (e.g. (1, 4, 16)):
         each request chunk pads only to the smallest bucket >= its size
         instead of the full ``batch_size`` — small requests skip most of

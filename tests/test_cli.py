@@ -478,3 +478,19 @@ def test_detect_cli_directory_schema_stable(tmp_path, capsys):
     main(["--config", "tiny_ssd", "--image", str(d), "--min-score", "0.0"])
     out = json.loads(capsys.readouterr().out)
     assert isinstance(out, dict) and list(out) == ["only.jpg"]
+
+
+def test_act_scales_flag_guards(tmp_path):
+    """--act-scales misuse exits with a clean message in every CLI (not a
+    raw ValueError traceback), and cannot silently no-op on an artifact."""
+    import pytest
+
+    from shape_based_object_detection_tpu.cli.detect_cli import main as dmain
+    from shape_based_object_detection_tpu.cli.eval_cli import main as emain
+
+    with pytest.raises(SystemExit, match="requires --quantize full"):
+        emain(["--config", "tiny_retinanet", "--quantize", "weights",
+               "--act-scales", "x.json", "--max-batches", "1"])
+    with pytest.raises(SystemExit, match="cannot modify an exported"):
+        dmain(["--config", "tiny_retinanet", "--image", "x.jpg",
+               "--artifact", "m.sbdx", "--act-scales", "x.json"])

@@ -399,3 +399,12 @@ def test_static_export_header_and_runs(built, tiny_cfg, rng):
     assert loaded.header["activation_scale_mode"] == "static"
     det = loaded(batch)
     assert bool(np.all(np.isfinite(np.asarray(det.scores))))
+
+
+def test_calibrate_no_batches_is_diagnosed(built, tiny_cfg):
+    """An empty batch feed is reported as such, not as 'no eligible convs'
+    (a dataset smaller than the batch size yields zero full batches)."""
+    module, variables, _ = built
+    with pytest.raises(ValueError, match="no batches"):
+        q_lib.calibrate_activation_scales(module, variables, [],
+                                          tiny_cfg.data)

@@ -131,3 +131,44 @@ def test_unknown_path_404(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_oversized_body_rejected_before_buffering(server):
+    """A huge Content-Length 413s immediately (no multi-GB buffering)."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        conn.putrequest("POST", "/detect")
+        conn.putheader("Content-Length", str(1 << 31))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+    finally:
+        conn.close()
+
+
+def test_close_fails_queued_requests_fast():
+    """Requests still queued at shutdown are failed immediately instead of
+    hanging their handler threads for the request timeout."""
+    from shape_based_object_detection_tpu.server import _Batcher
+
+    class SlowPred:
+        batch_size = 2
+
+        def submit(self, images):
+            raise RuntimeError("never dispatched in this test")
+
+        def poll(self):
+            raise AssertionError("nothing submitted")
+
+    b = _Batcher(SlowPred(), window_s=0.001)
+    b._stop.set()           # stop the loop before it can drain
+    b._thread.join(timeout=5)
+    req = b.submit(object())  # lands in the queue after the loop exited
+    # re-run the drain path the loop executes on shutdown
+    b._thread = __import__("threading").Thread(target=b._loop, daemon=True)
+    b._thread.start()
+    b.close()
+    assert req.event.wait(timeout=5)
+    assert req.error is not None

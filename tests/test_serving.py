@@ -90,3 +90,22 @@ def test_prepare_batch_preresized_pair(rng):
     batch, sizes = prepare_batch([(resized, (480, 640))], size, 2)
     assert batch.shape[0] == 2 and sizes == [(480, 640)]
     np.testing.assert_array_equal(batch[0], resized)
+
+
+def test_prepare_batch_preresized_rejects_bad_items(rng):
+    """Wrong shape or non-uint8 dtype in the pre-resized fast path raises
+    (real errors, not asserts: a float array must never be silently
+    value-truncated into the uint8 batch)."""
+    import pytest
+
+    from shape_based_object_detection_tpu.serving import prepare_batch
+
+    size = 32
+    ok = rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="shape"):
+        prepare_batch([(ok[:16], (10, 10))], size, 1)
+    with pytest.raises(ValueError, match="uint8"):
+        prepare_batch([(ok.astype(np.float32), (10, 10))], size, 1)
+    batch, sizes = prepare_batch([(ok, (10, 20))], size, 1)
+    np.testing.assert_array_equal(batch[0], ok)
+    assert sizes == [(10, 20)]

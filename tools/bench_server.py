@@ -80,9 +80,9 @@ def main(argv=None):
                                                  cfg.data)
         quantize = "full"
 
-    buckets = ([b for b in (1, 2, 4, 8, 16, 32, 64)
-                if b < args.batch_size] + [args.batch_size]
-               if args.buckets else None)
+    from shape_based_object_detection_tpu.serving import default_bucket_sizes
+
+    buckets = default_bucket_sizes(args.batch_size) if args.buckets else None
     pred = Predictor(cfg, batch_size=args.batch_size, quantize=quantize,
                      activation_scales=act_scales, bucket_sizes=buckets)
     pred.warmup()  # compile every bucket up front

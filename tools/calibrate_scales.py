@@ -60,19 +60,12 @@ def main(argv=None):
             cfg, data=dataclasses.replace(cfg.data, dataset=args.dataset))
     module, variables, anchors = build_model(cfg.model)
     if args.checkpoint_dir:
-        from shape_based_object_detection_tpu import train as train_lib
-        from shape_based_object_detection_tpu.checkpoint import (
-            CheckpointManager,
+        from shape_based_object_detection_tpu.cli.common import (
+            restore_checkpoint_variables,
         )
 
-        state = train_lib.create_train_state(module, variables, cfg)
-        restored = CheckpointManager(args.checkpoint_dir).restore_latest(
-            state)
-        if restored is None:
-            raise SystemExit(
-                f"no checkpoint found in {args.checkpoint_dir!r} — "
-                "calibrating random weights produces useless scales")
-        variables = {"params": restored.params, **restored.extra_vars}
+        variables = restore_checkpoint_variables(
+            cfg, module, variables, args.checkpoint_dir)
 
     dataset = build_dataset(cfg, args)
     loader = Loader(dataset, cfg.data.batch_size, cfg.data.max_boxes,

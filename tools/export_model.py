@@ -40,7 +40,7 @@ def main(argv=None):
     p.add_argument("--act-scales", default="",
                    help="with --int8-activations: calibrated "
                         "activation-scales JSON (tools/calibrate_scales.py) "
-                        "— bakes static scales (batch-1 latency artifact)")
+                        "— bakes static scales (the batch-throughput artifact)")
     p.add_argument("--ema", action="store_true",
                    help="export the checkpoint's EMA weights (requires a "
                         "checkpoint trained with ema_decay > 0)")
@@ -63,18 +63,13 @@ def main(argv=None):
             cfg, model=dataclasses.replace(cfg.model, dtype=args.dtype))
     module, variables, anchors = build_model(cfg.model)
     if args.checkpoint_dir:
-        from shape_based_object_detection_tpu import train as train_lib
-        from shape_based_object_detection_tpu.checkpoint import CheckpointManager
+        from shape_based_object_detection_tpu.cli.common import (
+            restore_checkpoint_variables,
+        )
 
-        state = train_lib.create_train_state(module, variables, cfg)
-        restored = CheckpointManager(args.checkpoint_dir).restore_latest(state)
-        if restored is not None:
-            if args.ema and restored.ema_params is None:
-                raise SystemExit(
-                    "--ema: checkpoint has no EMA weights (train with "
-                    "--ema-decay > 0)")
-            params = restored.ema_params if args.ema else restored.params
-            variables = {"params": params, **restored.extra_vars}
+        # fails loud on a typo'd dir (was: silently exported fresh weights)
+        variables = restore_checkpoint_variables(
+            cfg, module, variables, args.checkpoint_dir, ema=args.ema)
     elif args.ema:
         raise SystemExit("--ema requires --checkpoint-dir")
 
