@@ -62,6 +62,9 @@ class _Batcher:
         self._window_s = window_s
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        # single-writer counters (the loop thread); readers see a consistent
+        # enough snapshot for observability
+        self.stats = {"requests": 0, "batches": 0, "batch_errors": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -117,9 +120,12 @@ class _Batcher:
             # otherwise idle-wait for the next request
             items = self._gather(0.002 if pending else 0.05)
             if items:
+                self.stats["requests"] += len(items)
+                self.stats["batches"] += 1
                 try:
                     self._pred.submit([r.payload for r in items])
                 except Exception as e:
+                    self.stats["batch_errors"] += 1
                     self._fail(items, e)
                     items = []
             if pending is not None:
@@ -171,8 +177,18 @@ class DetectionServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if urlparse(self.path).path == "/healthz":
+                path = urlparse(self.path).path
+                if path == "/healthz":
                     self._send(200, b"ok", "text/plain")
+                elif path == "/stats":
+                    s = dict(batcher.stats)
+                    s["mean_batch_occupancy"] = round(
+                        s["requests"] / max(s["batches"], 1), 2)
+                    s["batch_size"] = batcher._pred.batch_size
+                    s["bucket_sizes"] = (
+                        getattr(batcher._pred, "bucket_sizes", None)
+                        or [batcher._pred.batch_size])
+                    self._send(200, json.dumps(s).encode())
                 else:
                     self._send(404, b'{"error": "unknown path"}')
 

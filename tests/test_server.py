@@ -172,3 +172,15 @@ def test_close_fails_queued_requests_fast():
     b.close()
     assert req.event.wait(timeout=5)
     assert req.error is not None
+
+
+def test_stats_endpoint(server, rng):
+    """/stats reports request/batch counters and mean occupancy."""
+    _post(server.port, _jpeg_bytes(rng))
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["requests"] >= 1 and s["batches"] >= 1
+    assert s["requests"] >= s["batches"]
+    assert s["mean_batch_occupancy"] >= 1.0
+    assert s["batch_size"] == 4
