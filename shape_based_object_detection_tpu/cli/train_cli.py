@@ -25,6 +25,20 @@ def build_dataset(cfg, args, include_ignore: bool = False):
     size = cfg.model.image_size
     lb = cfg.data.letterbox
     dec = cfg.data.decode_backend
+    if args.data_root.startswith("synthetic://"):
+        # explicit synthetic root ("synthetic://<seed-name>"): works with
+        # ANY config's dataset kind (e.g. --val-root synthetic://val while
+        # training a VOC preset on synthetic data); distinct names seed
+        # distinct splits so train and val never share images
+        import zlib
+
+        # crc32, not hash(): str hashing is per-process randomized and the
+        # split must be reproducible across runs
+        seed = zlib.crc32(args.data_root.removeprefix(
+            "synthetic://").encode()) % (2**31)
+        return SyntheticDetection(
+            size=size, num_images=max(64, cfg.data.batch_size * 4),
+            num_classes=cfg.model.num_classes, seed=seed)
     if args.data_root and cfg.data.dataset == "voc":
         return VOCDetection(args.data_root, split=args.split, image_size=size,
                             letterbox=lb, include_difficult=include_ignore,

@@ -494,3 +494,28 @@ def test_act_scales_flag_guards(tmp_path):
     with pytest.raises(SystemExit, match="cannot modify an exported"):
         dmain(["--config", "tiny_retinanet", "--image", "x.jpg",
                "--artifact", "m.sbdx", "--act-scales", "x.json"])
+
+
+def test_synthetic_scheme_val_root_with_voc_config():
+    """--val-root synthetic://... must yield a synthetic dataset even when
+    the config's dataset kind is voc/coco (regression: it was treated as a
+    VOC directory and crashed on ImageSets/Main), with a stable per-name
+    seed so train/val splits don't share images."""
+    import types
+
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu.cli.train_cli import build_dataset
+    from shape_based_object_detection_tpu.data.synthetic import (
+        SyntheticDetection,
+    )
+
+    cfg = config_lib.get_config("config3_ssd512_voc_train")
+    assert cfg.data.dataset == "voc"
+    args = types.SimpleNamespace(data_root="synthetic://val", ann_file="",
+                                 split="val")
+    ds = build_dataset(cfg, args, include_ignore=True)
+    assert isinstance(ds, SyntheticDetection)
+    ds2 = build_dataset(cfg, types.SimpleNamespace(
+        data_root="synthetic://val", ann_file="", split="val"),
+        include_ignore=True)
+    np.testing.assert_array_equal(ds[0][0], ds2[0][0])  # reproducible
