@@ -35,3 +35,14 @@ def restore_checkpoint_variables(cfg, module, variables, checkpoint_dir: str,
                          "--ema-decay > 0)")
     params = restored.ema_params if ema else restored.params
     return {"params": params, **restored.extra_vars}
+
+
+def enable_tta_hflip(cfg):
+    """Return ``cfg`` with ``model.detect.tta_hflip=True`` (the --tta-hflip
+    CLI shortcut; equivalent to --set model.detect.tta_hflip=true)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model,
+            detect=dataclasses.replace(cfg.model.detect, tta_hflip=True)))

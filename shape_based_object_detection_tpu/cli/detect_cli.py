@@ -35,6 +35,11 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true",
                    help="serve the checkpoint's EMA weights (needs a "
                         "checkpoint trained with ema_decay > 0)")
+    p.add_argument("--tta-hflip", action="store_true",
+                   help="horizontal-flip test-time augmentation: fused "
+                        "doubled-batch forward, mirror-merged NMS "
+                        "(~2x forward cost; shortcut for "
+                        "--set model.detect.tta_hflip=true)")
     p.add_argument("--artifact", default="",
                    help="run from an exported .sbdx artifact instead of "
                         "building the model (--config/--checkpoint ignored)")
@@ -45,6 +50,12 @@ def main(argv=None):
 
     import os
 
+    if args.artifact and args.tta_hflip:
+        # same frozen-program rule as the quantize flags below: export with
+        # model.detect.tta_hflip=true to bake TTA into the artifact
+        raise SystemExit(
+            "--tta-hflip cannot modify an exported --artifact; export with "
+            "tools/export_model.py --set model.detect.tta_hflip=true instead")
     if args.artifact and (args.quantize or args.int8_activations
                           or args.act_scales):
         # an artifact's program is frozen at export; silently running the
@@ -122,6 +133,12 @@ def _build_runner(args):
         return run
     else:
         cfg = config_lib.resolve_config(args.config, args.overrides)
+        if args.tta_hflip:
+            from shape_based_object_detection_tpu.cli.common import (
+                enable_tta_hflip,
+            )
+
+            cfg = enable_tta_hflip(cfg)
         module, variables, anchors = build_model(cfg.model)
 
         if args.checkpoint_dir:

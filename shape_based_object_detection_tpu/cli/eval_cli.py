@@ -47,12 +47,22 @@ def main(argv=None):
                         "([{image_id, category_id, bbox xywh px, score}]) — "
                         "cross-checkable with pycocotools elsewhere; "
                         "requires a coco dataset")
+    p.add_argument("--tta-hflip", action="store_true",
+                   help="evaluate with horizontal-flip test-time "
+                        "augmentation (fused doubled-batch forward, "
+                        "mirror-merged NMS; ~2x forward cost)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.KEY=VALUE",
                    help="config override (JSON-parsed values)")
     args = p.parse_args(argv)
 
     cfg = config_lib.resolve_config(args.config, args.overrides)
+    if args.tta_hflip:
+        from shape_based_object_detection_tpu.cli.common import (
+            enable_tta_hflip,
+        )
+
+        cfg = enable_tta_hflip(cfg)
     if args.dataset:
         import dataclasses
 

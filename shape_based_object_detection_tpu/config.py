@@ -91,6 +91,13 @@ class DetectConfig:
     # Gaussian Soft-NMS (Bodla et al. 2017): > 0 decays overlapping scores by
     # exp(-iou^2/sigma) instead of hard suppression (0 = classic hard NMS).
     soft_nms_sigma: float = 0.0
+    # Horizontal-flip test-time augmentation: one fused XLA program runs the
+    # forward on [x, hflip(x)] as a doubled batch, mirrors the flipped
+    # branch's candidate boxes back, and NMS-merges the union (2x
+    # pre_nms_top_k candidates). ~2x forward cost per image; detect() output
+    # shapes are unchanged. Applies to every cfg-driven detect path
+    # (detect/eval/serving/export/quantized tiers).
+    tta_hflip: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,18 +27,15 @@ from shape_based_object_detection_tpu.utils.platform import (
 )
 
 
-def postprocess(
+def select_candidates(
     cls_logits: jnp.ndarray,  # (B, A, K)
     box_offsets: jnp.ndarray,  # (B, A, 4)
     anchors_cxcywh: jnp.ndarray,  # (A, 4)
     cfg: ModelConfig,
-    use_pallas: bool | None = None,
-) -> nms_lib.Detections:
-    """Decode + score + class-aware NMS. Labels are 0-based foreground ids.
-
-    On TPU the NMS suppression loop runs as the VMEM-resident Pallas kernel
-    (ops/nms_pallas.py); elsewhere the lax.scan formulation is used. Both are
-    numerically identical (tested)."""
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stage 1 of postprocess: exact two-stage top-k candidate selection +
+    deferred decode. Returns ``(boxes_xyxy, scores, classes, valid)``, each
+    ``(B, pre_nms_top_k, ...)`` with boxes clipped to [0, 1]."""
     det = cfg.detect
     if det.use_sigmoid:
         # sigmoid is monotonic: select on raw logits, activate only the
@@ -76,7 +73,21 @@ def postprocess(
     decoded = box_ops.decode_boxes(cand_offsets, cand_anchors,
                                    cfg.anchors.variances)
     cand_boxes = box_ops.clip_boxes(box_ops.cxcywh_to_xyxy(decoded))
+    return cand_boxes, cand_scores, cand_classes, cand_valid
 
+
+def run_nms(
+    cand_boxes: jnp.ndarray,  # (B, N, 4) xyxy in [0, 1]
+    cand_scores: jnp.ndarray,  # (B, N)
+    cand_classes: jnp.ndarray,  # (B, N) int32
+    cand_valid: jnp.ndarray,  # (B, N) bool
+    cfg: ModelConfig,
+    use_pallas: bool | None = None,
+) -> nms_lib.Detections:
+    """Stage 2 of postprocess: class-aware NMS over a candidate set. Every
+    backend selects by argmax, so candidates need not be score-sorted (the
+    TTA path relies on this to concatenate two top-k sets directly)."""
+    det = cfg.detect
     backend = det.nms_backend
     if use_pallas is not None:  # explicit override (tests, legacy arg)
         backend = "pallas" if use_pallas else "scan"
@@ -109,6 +120,56 @@ def postprocess(
     return nms_lib.batched_class_aware_nms(*args, **kwargs)
 
 
+def postprocess(
+    cls_logits: jnp.ndarray,  # (B, A, K)
+    box_offsets: jnp.ndarray,  # (B, A, 4)
+    anchors_cxcywh: jnp.ndarray,  # (A, 4)
+    cfg: ModelConfig,
+    use_pallas: bool | None = None,
+) -> nms_lib.Detections:
+    """Decode + score + class-aware NMS. Labels are 0-based foreground ids.
+
+    On TPU the NMS suppression loop runs as the VMEM-resident Pallas kernel
+    (ops/nms_pallas.py); elsewhere the lax.scan formulation is used. Both are
+    numerically identical (tested)."""
+    cands = select_candidates(cls_logits, box_offsets, anchors_cxcywh, cfg)
+    return run_nms(*cands, cfg, use_pallas=use_pallas)
+
+
+def mirror_boxes_x(boxes_xyxy: jnp.ndarray) -> jnp.ndarray:
+    """Reflect normalized xyxy boxes across the vertical image midline
+    (x -> 1 - x). An involution; preserves x1 <= x2 by swapping the pair."""
+    return jnp.stack(
+        [1.0 - boxes_xyxy[..., 2], boxes_xyxy[..., 1],
+         1.0 - boxes_xyxy[..., 0], boxes_xyxy[..., 3]], axis=-1)
+
+
+def postprocess_tta_hflip(
+    cls_logits: jnp.ndarray,  # (2B, A, K): [original; hflipped] halves
+    box_offsets: jnp.ndarray,  # (2B, A, 4)
+    anchors_cxcywh: jnp.ndarray,
+    cfg: ModelConfig,
+    use_pallas: bool | None = None,
+) -> nms_lib.Detections:
+    """Merge-postprocess for hflip TTA: the first half of the batch is the
+    original orientation, the second half the horizontally flipped copy.
+    Each half goes through the exact two-stage candidate selection, the
+    flipped half's decoded boxes are mirrored back into original
+    coordinates, and one class-aware NMS runs over the union (2K
+    candidates). NMS is argmax-ordered, so the concatenated set needs no
+    re-sort; the output is flip-equivariant by construction (tested)."""
+    b = cls_logits.shape[0] // 2
+    bo, so, co, vo = select_candidates(
+        cls_logits[:b], box_offsets[:b], anchors_cxcywh, cfg)
+    bf, sf, cf, vf = select_candidates(
+        cls_logits[b:], box_offsets[b:], anchors_cxcywh, cfg)
+    merged = (jnp.concatenate([bo, mirror_boxes_x(bf)], axis=1),
+              jnp.concatenate([so, sf], axis=1),
+              jnp.concatenate([co, cf], axis=1),
+              jnp.concatenate([vo, vf], axis=1))
+    return run_nms(*merged, cfg, use_pallas=use_pallas)
+
+
 def make_detect_fn(module, anchors_cxcywh: jnp.ndarray, cfg: ModelConfig,
                    data_cfg: DataConfig | None = None,
                    use_pallas: bool | None = None):
@@ -121,6 +182,20 @@ def make_detect_fn(module, anchors_cxcywh: jnp.ndarray, cfg: ModelConfig,
     """
     mean = data_cfg.mean if data_cfg else image_lib.IMAGENET_MEAN
     std = data_cfg.std if data_cfg else image_lib.IMAGENET_STD
+
+    if cfg.detect.tta_hflip:
+        @jax.jit
+        def detect_tta(params, images):
+            x = image_lib.normalize_images(images, mean, std)
+            # One doubled-batch forward keeps the MXU batched (a second
+            # sequential forward would halve utilization at small batch).
+            both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+            cls_logits, box_offsets = module.apply(params, both)
+            return postprocess_tta_hflip(cls_logits, box_offsets,
+                                         anchors_cxcywh, cfg,
+                                         use_pallas=use_pallas)
+
+        return detect_tta
 
     @jax.jit
     def detect(params, images):

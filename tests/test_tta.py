@@ -1,0 +1,128 @@
+"""Horizontal-flip test-time augmentation (detection.postprocess_tta_hflip).
+
+TTA is a merge at the candidate level: both orientations run through the
+exact two-stage selection, the flipped branch's boxes are mirrored back, and
+one class-aware NMS covers the union. These tests pin the three contracts:
+mirroring is an exact involution, the merge degenerates to the plain path
+when either branch is empty, and the end-to-end detect fn is flip-equivariant
+by construction.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from shape_based_object_detection_tpu import config as config_lib
+from shape_based_object_detection_tpu.detection import (
+    make_detect_fn, mirror_boxes_x, postprocess, postprocess_tta_hflip,
+)
+from shape_based_object_detection_tpu.models.factory import build_model
+
+
+def test_mirror_boxes_is_involution(rng):
+    x1 = rng.uniform(0, 0.8, (32, 1))
+    y1 = rng.uniform(0, 0.8, (32, 1))
+    boxes = np.concatenate(
+        [x1, y1, x1 + rng.uniform(0, 0.2, (32, 1)),
+         y1 + rng.uniform(0, 0.2, (32, 1))], axis=1)
+    m = np.asarray(mirror_boxes_x(jnp.asarray(boxes)))
+    # stays a valid box in [0,1] with x1 <= x2, same width/height
+    assert (m[:, 0] <= m[:, 2]).all()
+    np.testing.assert_allclose(m[:, 2] - m[:, 0], boxes[:, 2] - boxes[:, 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(m[:, [1, 3]], boxes[:, [1, 3]], atol=0)
+    np.testing.assert_allclose(
+        np.asarray(mirror_boxes_x(jnp.asarray(m))), boxes, atol=1e-6)
+
+
+def _toy_setup(rng, b=2, a=64, k=3, top_k=8):
+    """Tiny synthetic (cls_logits, box_offsets, anchors, cfg) for direct
+    postprocess tests — sigmoid scoring, no model needed."""
+    cfg = config_lib.tiny_test_model("retinanet")
+    cfg = dataclasses.replace(
+        cfg, detect=dataclasses.replace(
+            cfg.detect, use_sigmoid=True, pre_nms_top_k=top_k,
+            max_detections=top_k, score_threshold=0.05))
+    cxy = rng.uniform(0.2, 0.8, (a, 2))
+    wh = rng.uniform(0.05, 0.2, (a, 2))
+    anchors = jnp.asarray(np.concatenate([cxy, wh], 1), jnp.float32)
+    logits = jnp.asarray(rng.normal(0, 2, (b, a, k)), jnp.float32)
+    offsets = jnp.asarray(rng.normal(0, 0.5, (b, a, 4)), jnp.float32)
+    return logits, offsets, anchors, cfg
+
+
+def test_tta_merge_empty_flipped_half_is_plain(rng):
+    """If the flipped branch scores nothing above threshold, TTA output ==
+    plain postprocess of the original branch (merge adds nothing)."""
+    logits, offsets, anchors, cfg = _toy_setup(rng)
+    dead = jnp.full_like(logits, -30.0)  # sigmoid ~ 1e-13 << threshold
+    cls2 = jnp.concatenate([logits, dead], 0)
+    off2 = jnp.concatenate([offsets, offsets], 0)
+    tta = postprocess_tta_hflip(cls2, off2, anchors, cfg)
+    plain = postprocess(logits, offsets, anchors, cfg)
+    np.testing.assert_array_equal(np.asarray(tta.valid),
+                                  np.asarray(plain.valid))
+    v = np.asarray(plain.valid)
+    np.testing.assert_allclose(np.asarray(tta.boxes)[v],
+                               np.asarray(plain.boxes)[v], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tta.scores)[v],
+                               np.asarray(plain.scores)[v], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tta.labels)[v],
+                                  np.asarray(plain.labels)[v])
+
+
+def test_tta_merge_empty_original_half_is_mirrored_plain(rng):
+    """If the original branch is empty, TTA output == the plain detections
+    of the flipped branch, mirrored back into original coordinates."""
+    logits, offsets, anchors, cfg = _toy_setup(rng)
+    dead = jnp.full_like(logits, -30.0)
+    cls2 = jnp.concatenate([dead, logits], 0)
+    off2 = jnp.concatenate([offsets, offsets], 0)
+    tta = postprocess_tta_hflip(cls2, off2, anchors, cfg)
+    plain = postprocess(logits, offsets, anchors, cfg)
+    # mirroring doesn't change IoU relations (isometry), so the NMS
+    # survivor set and order are identical
+    np.testing.assert_array_equal(np.asarray(tta.valid),
+                                  np.asarray(plain.valid))
+    v = np.asarray(plain.valid)
+    np.testing.assert_allclose(
+        np.asarray(tta.boxes)[v],
+        np.asarray(mirror_boxes_x(plain.boxes))[v], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tta.scores)[v],
+                               np.asarray(plain.scores)[v], atol=1e-6)
+
+
+def test_tta_detect_flip_equivariant(rng):
+    """End-to-end: detect_tta(hflip(x)) is the exact mirror of
+    detect_tta(x) — the merged candidate set is mirror-symmetric by
+    construction, so NMS picks the same (mirrored) survivors."""
+    cfg = config_lib.get_config("tiny_retinanet")
+    # score_threshold=0: the π=0.01 bias init puts a fresh model's sigmoid
+    # scores (~0.01) below the serving threshold
+    model_cfg = dataclasses.replace(
+        cfg.model, detect=dataclasses.replace(
+            cfg.model.detect, tta_hflip=True, score_threshold=0.0))
+    module, variables, anchors = build_model(model_cfg)
+    detect = make_detect_fn(module, anchors, model_cfg, cfg.data)
+
+    s = model_cfg.image_size
+    x = jnp.asarray(rng.integers(0, 255, (2, s, s, 3)), jnp.uint8)
+    det = detect(variables, x)
+    det_f = detect(variables, x[:, :, ::-1, :])
+
+    np.testing.assert_array_equal(np.asarray(det.valid),
+                                  np.asarray(det_f.valid))
+    v = np.asarray(det.valid)
+    assert v.any(), "random tiny model should fire some detections"
+    np.testing.assert_allclose(
+        np.asarray(det_f.boxes)[v],
+        np.asarray(mirror_boxes_x(det.boxes))[v], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(det_f.scores)[v],
+                               np.asarray(det.scores)[v], atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(det_f.labels)[v],
+                                  np.asarray(det.labels)[v])
+    # output contract unchanged vs the plain path
+    md = model_cfg.detect.max_detections
+    assert det.boxes.shape == (2, md, 4)
+    assert det.scores.shape == det.labels.shape == det.valid.shape == (2, md)

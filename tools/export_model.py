@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true",
                    help="export the checkpoint's EMA weights (requires a "
                         "checkpoint trained with ema_decay > 0)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override baked into the artifact (e.g. "
+                        "model.detect.tta_hflip=true; JSON-parsed values)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
     if args.int8_activations and not args.quantize:
@@ -55,7 +59,7 @@ def main(argv=None):
     from shape_based_object_detection_tpu import export as export_lib
     from shape_based_object_detection_tpu.models.factory import build_model
 
-    cfg = config_lib.get_config(args.config)
+    cfg = config_lib.resolve_config(args.config, args.overrides)
     if args.dtype:
         import dataclasses
 
