@@ -126,3 +126,26 @@ def test_tta_detect_flip_equivariant(rng):
     md = model_cfg.detect.max_detections
     assert det.boxes.shape == (2, md, 4)
     assert det.scores.shape == det.labels.shape == det.valid.shape == (2, md)
+
+
+def test_tta_through_predictor(rng):
+    """The serving Predictor picks tta_hflip up from the config (every
+    cfg-driven path funnels through make_detect_fn): mirrored input images
+    come back with mirrored pixel-space detections."""
+    from shape_based_object_detection_tpu.serving import Predictor
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, detect=dataclasses.replace(
+                cfg.model.detect, tta_hflip=True, score_threshold=0.0)))
+    pred = Predictor(cfg, batch_size=2, min_score=0.0)
+    img = rng.integers(0, 255, (96, 160, 3), dtype=np.uint8)
+    out, out_f = pred.predict([img, img[:, ::-1, :]])
+    assert len(out.boxes) and len(out.boxes) == len(out_f.boxes)
+    w = img.shape[1]
+    mirrored = np.stack(
+        [w - out.boxes[:, 2], out.boxes[:, 1],
+         w - out.boxes[:, 0], out.boxes[:, 3]], axis=1)
+    np.testing.assert_allclose(out_f.boxes, mirrored, atol=0.05)
+    np.testing.assert_allclose(out_f.scores, out.scores, atol=2e-5)

@@ -32,7 +32,7 @@ MODELS = {
 
 
 def bench_one(model_key: str, batch: int, iters: int, windows: int,
-              quantize: str = "") -> dict:
+              quantize: str = "", tta: bool = False) -> dict:
     """``quantize``: "" (bf16) | "weights" (int8 weight-only) | "full"
     (int8 weights + dynamic-int8 activations on the MXU) | "full-static"
     (calibrated static activation scales — calibrated in-process on the
@@ -45,6 +45,10 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int,
 
     cfg = config_lib.get_config(MODELS[model_key])
     model_cfg = dataclasses.replace(cfg.model, dtype="bfloat16")
+    if tta:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            detect=dataclasses.replace(model_cfg.detect, tta_hflip=True))
     module, variables, anchors = build_model(model_cfg)
     from shape_based_object_detection_tpu.quantize import (
         calibrate_activation_scales, make_serving_detect,
@@ -91,14 +95,15 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int,
         best_dt = min(best_dt, (t1 - t0 - rtt) / iters)
     return {
         "model": model_key, "image_size": size, "batch": batch,
-        "quantized": quantize_label,
+        "quantized": quantize_label, "tta_hflip": tta,
         "ms_per_batch": round(best_dt * 1e3, 3),
         "images_per_sec_per_chip": round(batch / best_dt, 1),
     }
 
 
 def _run_cell_subprocess(model: str, batch: int, iters: int,
-                         windows: int, quantize: str = "") -> dict:
+                         windows: int, quantize: str = "",
+                         tta: bool = False) -> dict:
     """One cell per child process: a TPU-worker crash (observed with the
     SSD-512 fused program) kills the client for the whole process, so cells
     must not share one. The worker itself restarts in ~2 min; retry once."""
@@ -108,6 +113,8 @@ def _run_cell_subprocess(model: str, batch: int, iters: int,
            "--iters", str(iters), "--windows", str(windows)]
     if quantize:
         cmd.extend(["--quantize", quantize])
+    if tta:
+        cmd.append("--tta")
     for attempt in range(2):
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
@@ -139,6 +146,9 @@ def main() -> None:
                          ", the default when the flag is bare), 'full' "
                          "(+dynamic-int8 activations on the MXU), or "
                          "'full-static' (calibrated static scales)")
+    ap.add_argument("--tta", action="store_true",
+                    help="bench with hflip test-time augmentation "
+                         "(model.detect.tta_hflip=true; ~2x forward work)")
     ap.add_argument("--one", default="",
                     help="internal: run a single 'model:batch' cell and exit")
     args = ap.parse_args()
@@ -152,14 +162,16 @@ def main() -> None:
     if args.one:
         m, b = args.one.rsplit(":", 1)
         print(json.dumps(bench_one(m, int(b), args.iters, args.windows,
-                                   quantize=args.quantize)), flush=True)
+                                   quantize=args.quantize, tta=args.tta)),
+              flush=True)
         return
 
     rows = []
     for m in args.models.split(","):
         for b in (int(x) for x in args.batches.split(",")):
             row = _run_cell_subprocess(m.strip(), b, args.iters,
-                                       args.windows, quantize=args.quantize)
+                                       args.windows, quantize=args.quantize,
+                                       tta=args.tta)
             print(json.dumps(row), flush=True)
             rows.append(row)
 
