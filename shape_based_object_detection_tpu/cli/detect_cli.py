@@ -40,6 +40,11 @@ def main(argv=None):
                         "doubled-batch forward, mirror-merged NMS "
                         "(~2x forward cost; shortcut for "
                         "--set model.detect.tta_hflip=true)")
+    p.add_argument("--tta-scales", default="",
+                   help="comma-separated image sizes for multi-scale "
+                        "test-time augmentation (e.g. 512,640): one "
+                        "compiled program per scale, shared params, "
+                        "cross-scale NMS merge; composes with --tta-hflip")
     p.add_argument("--artifact", default="",
                    help="run from an exported .sbdx artifact instead of "
                         "building the model (--config/--checkpoint ignored)")
@@ -50,6 +55,11 @@ def main(argv=None):
 
     import os
 
+    if args.tta_scales and (args.artifact or args.quantize
+                            or args.int8_activations):
+        raise SystemExit(
+            "--tta-scales runs the float multi-program path; it cannot "
+            "combine with --artifact or the int8 flags")
     if args.artifact and args.tta_hflip:
         # same frozen-program rule as the quantize flags below: export with
         # model.detect.tta_hflip=true to bake TTA into the artifact
@@ -148,6 +158,18 @@ def _build_runner(args):
 
             variables = restore_checkpoint_variables(
                 cfg, module, variables, args.checkpoint_dir, ema=args.ema)
+
+        if args.tta_scales:
+            from shape_based_object_detection_tpu.detection import (
+                MultiScaleDetector,
+            )
+
+            scales = [int(s) for s in args.tta_scales.split(",")]
+            # MultiScaleDetector is itself run(img) -> (boxes, scores,
+            # labels); composes with --tta-hflip via cfg.model.detect
+            return MultiScaleDetector(cfg.model, variables, scales,
+                                      cfg.data,
+                                      letterbox=cfg.data.letterbox)
 
         if args.int8_activations and not args.quantize:
             raise SystemExit("--int8-activations requires --quantize")

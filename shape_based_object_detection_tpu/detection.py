@@ -207,6 +207,86 @@ def make_detect_fn(module, anchors_cxcywh: jnp.ndarray, cfg: ModelConfig,
     return detect
 
 
+class MultiScaleDetector:
+    """Multi-scale test-time augmentation (the second classic TTA axis next
+    to :func:`postprocess_tta_hflip`, composable with it via
+    ``model_cfg.detect.tta_hflip``).
+
+    XLA compiles one program per static shape, so each scale is its own
+    jitted detect() — but the model family is fully convolutional, so ONE
+    set of params serves every scale; only the modules' traced shapes and
+    the anchor grids differ. Per-scale detections land in normalized
+    [0, 1] coordinates (scale-independent), so the cross-scale merge is a
+    single jitted class-aware NMS over the concatenated per-scale
+    survivor sets — the same argmax-ordered NMS the TTA merge uses, no
+    re-sort needed.
+
+    Host cost is one resize per scale; device cost is one forward+NMS per
+    scale plus the (tiny) merge program.
+    """
+
+    def __init__(self, model_cfg: ModelConfig, variables, scales,
+                 data_cfg: DataConfig | None = None,
+                 use_pallas: bool | None = None, letterbox: bool = False):
+        import dataclasses
+
+        from shape_based_object_detection_tpu.models.factory import (
+            build_module,
+        )
+
+        if not scales:
+            raise ValueError("scales must name at least one image size")
+        self.scales = tuple(int(s) for s in scales)
+        self.letterbox = letterbox
+        self.variables = variables
+        self._per_scale = []
+        for s in self.scales:
+            scfg = dataclasses.replace(model_cfg, image_size=s)
+            module = build_module(scfg)  # params are shared across scales
+            anchors = anchor_lib.anchors_for_model(scfg)
+            self._per_scale.append(
+                (make_detect_fn(module, anchors, scfg, data_cfg,
+                                use_pallas=use_pallas), s))
+
+        @jax.jit
+        def merge(boxes, scores, classes, valid):
+            return run_nms(boxes, scores, classes, valid, model_cfg,
+                           use_pallas=use_pallas)
+
+        self._merge = merge
+
+    def __call__(self, image_np) -> Tuple:
+        """Arbitrary (H, W, 3) uint8 numpy image -> (boxes_px, scores,
+        labels) in original pixel coordinates, merged across scales."""
+        import numpy as np
+        from PIL import Image
+
+        from shape_based_object_detection_tpu.utils.image import (
+            boxes_norm_to_original_px, letterbox_image_host,
+        )
+
+        h, w = image_np.shape[:2]
+        parts = []
+        for fn, s in self._per_scale:
+            if self.letterbox:
+                batch = letterbox_image_host(image_np, s)[None]
+            else:
+                img = Image.fromarray(image_np).resize((s, s),
+                                                       Image.BILINEAR)
+                batch = np.asarray(img, dtype=np.uint8)[None]
+            parts.append(fn(self.variables, jnp.asarray(batch)))
+        det = self._merge(
+            jnp.concatenate([d.boxes for d in parts], axis=1),
+            jnp.concatenate([d.scores for d in parts], axis=1),
+            jnp.concatenate([d.labels for d in parts], axis=1),
+            jnp.concatenate([d.valid for d in parts], axis=1))
+        valid = np.asarray(det.valid[0])
+        boxes = boxes_norm_to_original_px(
+            np.asarray(det.boxes[0])[valid], h, w, self.letterbox)
+        return (boxes, np.asarray(det.scores[0])[valid],
+                np.asarray(det.labels[0])[valid])
+
+
 def detect_single_image(detect_fn, params, image_np, image_size: int,
                         letterbox: bool = False) -> Tuple:
     """Convenience host wrapper: arbitrary (H, W, 3) uint8 numpy image ->

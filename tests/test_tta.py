@@ -128,6 +128,65 @@ def test_tta_detect_flip_equivariant(rng):
     assert det.scores.shape == det.labels.shape == det.valid.shape == (2, md)
 
 
+def test_multiscale_single_scale_matches_detect_single_image(rng):
+    """MultiScaleDetector with one scale reduces exactly to the plain
+    single-image path (the merge NMS over one already-NMS'd set is a
+    fixed point: survivors can't suppress each other again)."""
+    from shape_based_object_detection_tpu.detection import (
+        MultiScaleDetector, detect_single_image,
+    )
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    model_cfg = dataclasses.replace(
+        cfg.model, detect=dataclasses.replace(cfg.model.detect,
+                                              score_threshold=0.0))
+    module, variables, anchors = build_model(model_cfg)
+    img = rng.integers(0, 255, (100, 140, 3), dtype=np.uint8)
+
+    ms = MultiScaleDetector(model_cfg, variables,
+                            scales=[model_cfg.image_size], data_cfg=cfg.data)
+    b_ms, s_ms, l_ms = ms(img)
+
+    detect = make_detect_fn(module, anchors, model_cfg, cfg.data)
+    b_1, s_1, l_1 = detect_single_image(detect, variables, img,
+                                        model_cfg.image_size)
+    assert len(b_ms) and len(b_ms) == len(b_1)
+    np.testing.assert_allclose(b_ms, b_1, atol=1e-3)
+    np.testing.assert_allclose(s_ms, s_1, atol=1e-6)
+    np.testing.assert_array_equal(l_ms, l_1)
+
+
+def test_multiscale_merges_two_scales(rng):
+    """Two scales share one param set (fully-convolutional family); the
+    merged result is a valid NMS output: scores descend, and no two
+    same-class survivors overlap above the NMS threshold."""
+    from shape_based_object_detection_tpu.detection import (
+        MultiScaleDetector,
+    )
+    from shape_based_object_detection_tpu.ops.boxes import iou_matrix
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    model_cfg = dataclasses.replace(
+        cfg.model, detect=dataclasses.replace(cfg.model.detect,
+                                              score_threshold=0.0))
+    _, variables, _ = build_model(model_cfg)
+    img = rng.integers(0, 255, (100, 140, 3), dtype=np.uint8)
+
+    s0 = model_cfg.image_size
+    ms = MultiScaleDetector(model_cfg, variables, scales=[s0, 2 * s0],
+                            data_cfg=cfg.data)
+    boxes, scores, labels = ms(img)
+    assert len(boxes), "merged multi-scale detections expected"
+    assert (np.diff(scores) <= 1e-6).all(), "NMS emits in score order"
+    iou = np.asarray(iou_matrix(
+        jnp.asarray(boxes, jnp.float32), jnp.asarray(boxes, jnp.float32)))
+    same_class = labels[:, None] == labels[None, :]
+    off_diag = ~np.eye(len(boxes), dtype=bool)
+    thr = model_cfg.detect.nms_iou_threshold
+    assert (iou[same_class & off_diag] < thr + 1e-6).all(), (
+        "cross-scale duplicates must be suppressed by the merge NMS")
+
+
 def test_tta_through_predictor(rng):
     """The serving Predictor picks tta_hflip up from the config (every
     cfg-driven path funnels through make_detect_fn): mirrored input images
