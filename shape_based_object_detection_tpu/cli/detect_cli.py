@@ -164,7 +164,15 @@ def _build_runner(args):
                 MultiScaleDetector,
             )
 
-            scales = [int(s) for s in args.tta_scales.split(",")]
+            try:
+                scales = [int(s) for s in args.tta_scales.split(",")
+                          if s.strip()]
+            except ValueError:
+                raise SystemExit(
+                    f"--tta-scales must be comma-separated integers "
+                    f"(e.g. 512,640), got {args.tta_scales!r}")
+            if not scales:
+                raise SystemExit("--tta-scales named no scales")
             # MultiScaleDetector is itself run(img) -> (boxes, scores,
             # labels); composes with --tta-hflip via cfg.model.detect
             return MultiScaleDetector(cfg.model, variables, scales,

@@ -267,9 +267,10 @@ def augment_batch(
     )(rngs, images_u8, boxes, labels, valid)
 
 
-def eval_preprocess(images_u8: jnp.ndarray, cfg: DataConfig, out_size: int):
-    """Inference-time preprocessing: resize + normalize only (on device)."""
-    x = images_u8.astype(jnp.float32) / 255.0
-    b = x.shape[0]
-    x = jax.image.resize(x, (b, out_size, out_size, 3), method="bilinear")
-    return (x - jnp.asarray(cfg.mean)) / jnp.asarray(cfg.std)
+# NOTE: there is deliberately no eval-time preprocessing helper here — the
+# inference paths (detect_single_image, serving.prepare_batch, eval_cli) do
+# their geometry on the host via utils.image (square or letterbox per
+# DataConfig.letterbox) and normalize inside the jitted detect() program. A
+# device-side square-resize helper used to live here; it ignored the
+# letterbox config and had no production callers, so it was removed rather
+# than left as a geometry trap (round-2 review finding).

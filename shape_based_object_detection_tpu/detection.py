@@ -213,13 +213,21 @@ class MultiScaleDetector:
     ``model_cfg.detect.tta_hflip``).
 
     XLA compiles one program per static shape, so each scale is its own
-    jitted detect() — but the model family is fully convolutional, so ONE
-    set of params serves every scale; only the modules' traced shapes and
-    the anchor grids differ. Per-scale detections land in normalized
-    [0, 1] coordinates (scale-independent), so the cross-scale merge is a
-    single jitted class-aware NMS over the concatenated per-scale
-    survivor sets — the same argmax-ordered NMS the TTA merge uses, no
-    re-sort needed.
+    jitted detect(), with ONE set of params serving every scale when the
+    architecture permits it; only the modules' traced shapes and the anchor
+    grids differ. Per-scale detections land in normalized [0, 1]
+    coordinates (scale-independent), so the cross-scale merge is a single
+    jitted class-aware NMS over the concatenated per-scale survivor sets —
+    the same argmax-ordered NMS the TTA merge uses, no re-sort needed.
+
+    Param sharing across scales is NOT free for every family member:
+    RetinaNet (ResNet+FPN+shared subnets) is scale-agnostic, but SSD's
+    extras plan and head count are a function of image_size (the plan
+    grows an extra block at 512, and each scale adds/removes per-scale
+    head convs), so an SSD param set trained at one size cannot serve
+    another. ``__init__`` validates every requested scale against the
+    given params via ``jax.eval_shape`` (no FLOPs) and raises a clear
+    error naming the offending scale instead of crashing inside apply.
 
     Host cost is one resize per scale; device cost is one forward+NMS per
     scale plus the (tiny) merge program.
@@ -239,10 +247,31 @@ class MultiScaleDetector:
         self.scales = tuple(int(s) for s in scales)
         self.letterbox = letterbox
         self.variables = variables
+        ref_tree = jax.tree_util.tree_map(jnp.shape, variables)
         self._per_scale = []
         for s in self.scales:
             scfg = dataclasses.replace(model_cfg, image_size=s)
             module = build_module(scfg)  # params are shared across scales
+            # Abstract init: does this scale's architecture accept the
+            # shared params? (SSD's extras/head plan varies with size —
+            # the plan itself may refuse to build at a foreign scale, or
+            # build with a different param tree.)
+            err = (
+                f"multi-scale TTA: scale {s} changes the model's "
+                f"parameter plan (family {model_cfg.family!r} is not "
+                f"scale-agnostic — SSD's extras/heads depend on "
+                f"image_size), so the shared params cannot serve it. "
+                f"Use scales that preserve the plan, or a RetinaNet "
+                f"config (ResNet+FPN+shared subnets work at any size).")
+            try:
+                abs_vars = jax.eval_shape(
+                    module.init, jax.random.PRNGKey(0),
+                    jnp.zeros((1, s, s, 3), jnp.float32))
+            except Exception as e:
+                raise ValueError(f"{err} (build error: {e})") from e
+            scale_tree = jax.tree_util.tree_map(jnp.shape, abs_vars)
+            if scale_tree != ref_tree:
+                raise ValueError(err)
             anchors = anchor_lib.anchors_for_model(scfg)
             self._per_scale.append(
                 (make_detect_fn(module, anchors, scfg, data_cfg,
@@ -267,16 +296,34 @@ class MultiScaleDetector:
 
         h, w = image_np.shape[:2]
         parts = []
+        corrections = []
         for fn, s in self._per_scale:
             if self.letterbox:
                 batch = letterbox_image_host(image_np, s)[None]
+                # Letterbox rounds the content size to whole pixels per
+                # scale (nw = round(w*s/M)), so the content fraction nw/s
+                # differs slightly across scales while the merge +
+                # unprojection use ONE shared transform (x * max(h, w)).
+                # Rescale each scale's boxes to the exact x/M frame
+                # (factor s*w / (nw*M), identity when rounding is exact)
+                # so cross-scale near-duplicates align sub-pixel for the
+                # merge NMS and the shared unprojection is exact.
+                m = max(h, w)
+                nh = max(1, round(h * s / m))
+                nw = max(1, round(w * s / m))
+                cx, cy = s * w / (nw * m), s * h / (nh * m)
+                corrections.append(
+                    jnp.asarray([cx, cy, cx, cy], jnp.float32))
             else:
                 img = Image.fromarray(image_np).resize((s, s),
                                                        Image.BILINEAR)
                 batch = np.asarray(img, dtype=np.uint8)[None]
+                corrections.append(None)
             parts.append(fn(self.variables, jnp.asarray(batch)))
         det = self._merge(
-            jnp.concatenate([d.boxes for d in parts], axis=1),
+            jnp.concatenate([
+                d.boxes if c is None else d.boxes * c
+                for d, c in zip(parts, corrections)], axis=1),
             jnp.concatenate([d.scores for d in parts], axis=1),
             jnp.concatenate([d.labels for d in parts], axis=1),
             jnp.concatenate([d.valid for d in parts], axis=1))

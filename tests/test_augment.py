@@ -108,13 +108,6 @@ def test_hflip_box_math(rng):
     raise AssertionError("no flip observed in 20 keys (p < 1e-6)")
 
 
-def test_eval_preprocess(rng):
-    images = rng.integers(0, 255, size=(2, 32, 32, 3), dtype=np.uint8)
-    out = A.eval_preprocess(jnp.asarray(images), _FULL_CFG, 64)
-    assert out.shape == (2, 64, 64, 3)
-    assert np.isfinite(np.asarray(out)).all()
-
-
 def test_augment_bfloat16_dtype_matches_f32(rng):
     """augment_dtype="bfloat16" (the bf16-model perf setting) produces the
     same geometry exactly (windows/boxes sampled in f32) and images close to

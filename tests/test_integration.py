@@ -2,6 +2,8 @@
 synthetic images, then verify detect() recovers the boxes and the first-party
 mAP agrees."""
 
+import pytest
+
 import dataclasses
 
 import numpy as np
@@ -14,6 +16,8 @@ from shape_based_object_detection_tpu.data.pipeline import Loader
 from shape_based_object_detection_tpu.data.synthetic import SyntheticDetection
 from shape_based_object_detection_tpu.eval import Evaluator
 from shape_based_object_detection_tpu.models.factory import build_model
+
+pytestmark = pytest.mark.slow  # compile-heavy; deselect with -m "not slow"
 
 
 def test_overfit_then_detect():

@@ -18,6 +18,8 @@ from shape_based_object_detection_tpu.utils.torch_convert import (
 )
 from tests.golden import torch_models as TM
 
+pytestmark = pytest.mark.slow  # compile-heavy; deselect with -m "not slow"
+
 
 def _run_parity(flax_cfg, torch_model, image_size, atol=2e-4):
     torch_model.eval()

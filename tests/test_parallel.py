@@ -163,6 +163,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_two_process_distributed_train_step(tmp_path):
     """REAL multi-process jax.distributed on CPU (SURVEY §4 item 4, VERDICT
     r1 item 7): 2 processes x 2 virtual devices, host-sharded Loader input,

@@ -12,12 +12,15 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from shape_based_object_detection_tpu import config as config_lib
 from shape_based_object_detection_tpu.detection import (
     make_detect_fn, mirror_boxes_x, postprocess, postprocess_tta_hflip,
 )
 from shape_based_object_detection_tpu.models.factory import build_model
+
+pytestmark = pytest.mark.slow  # compile-heavy; deselect with -m "not slow"
 
 
 def test_mirror_boxes_is_involution(rng):
@@ -157,7 +160,7 @@ def test_multiscale_single_scale_matches_detect_single_image(rng):
 
 
 def test_multiscale_merges_two_scales(rng):
-    """Two scales share one param set (fully-convolutional family); the
+    """Two scales share one param set (RetinaNet is scale-agnostic); the
     merged result is a valid NMS output: scores descend, and no two
     same-class survivors overlap above the NMS threshold."""
     from shape_based_object_detection_tpu.detection import (
@@ -185,6 +188,63 @@ def test_multiscale_merges_two_scales(rng):
     thr = model_cfg.detect.nms_iou_threshold
     assert (iou[same_class & off_diag] < thr + 1e-6).all(), (
         "cross-scale duplicates must be suppressed by the merge NMS")
+
+
+def test_multiscale_rejects_plan_changing_ssd_scale(rng):
+    """SSD's extras/head plan is a function of image_size (ADVICE round 2):
+    requesting a scale whose plan differs from the params' must raise a
+    clear error at construction, not crash inside apply."""
+    import pytest
+
+    import jax
+    import jax.numpy as jnp
+
+    from shape_based_object_detection_tpu.detection import MultiScaleDetector
+    from shape_based_object_detection_tpu.models.factory import build_module
+
+    # the documented USER_GUIDE trap: --tta-scales 512 on the default
+    # SSD-300 config (the extras plan grows a block at 512). Abstract
+    # variables suffice — validation never touches real weights.
+    cfg = config_lib.get_config("config1_ssd300_infer")
+    module = build_module(cfg.model)
+    abs_vars = jax.eval_shape(module.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 300, 300, 3), jnp.float32))
+    with pytest.raises(ValueError, match="not\\s+scale-agnostic"):
+        MultiScaleDetector(cfg.model, abs_vars, scales=[300, 512],
+                           data_cfg=cfg.data)
+
+
+def test_multiscale_letterbox_scales_align_subpixel(rng):
+    """Letterbox content fractions round per scale; the per-scale correction
+    in MultiScaleDetector.__call__ must land both scales' boxes in the same
+    exact x/max(h,w) frame: running the SAME image through two different
+    letterbox scales with identical params yields merged boxes whose
+    unprojection matches the single-scale result within a sub-pixel."""
+    from shape_based_object_detection_tpu.detection import (
+        MultiScaleDetector, detect_single_image,
+    )
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    model_cfg = dataclasses.replace(
+        cfg.model, detect=dataclasses.replace(cfg.model.detect,
+                                              score_threshold=0.0))
+    module, variables, anchors = build_model(model_cfg)
+    # odd original size -> per-scale rounding of the content extent differs
+    img = rng.integers(0, 255, (101, 143, 3), dtype=np.uint8)
+    s0 = model_cfg.image_size
+
+    ms = MultiScaleDetector(model_cfg, variables, scales=[s0],
+                            data_cfg=cfg.data, letterbox=True)
+    b_ms, s_ms, _ = ms(img)
+
+    detect = make_detect_fn(module, anchors, model_cfg, cfg.data)
+    b_1, s_1, _ = detect_single_image(detect, variables, img, s0,
+                                      letterbox=True)
+    assert len(b_ms) == len(b_1) and len(b_ms) > 0
+    # single-scale path has no correction; the corrected path differs from
+    # it by at most the rounding slack (< 1 original px)
+    np.testing.assert_allclose(b_ms, b_1, atol=1.0)
+    np.testing.assert_allclose(s_ms, s_1, atol=1e-6)
 
 
 def test_tta_through_predictor(rng):
