@@ -27,6 +27,9 @@ def main() -> None:
                     choices=["float32", "bfloat16"],
                     help="compute dtype of the fused augmentation stage "
                          "(DataConfig.augment_dtype)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="measure make_train_step_pipelined (augment of "
+                         "batch i+1 folded into step i's program)")
     ap.add_argument("--config5", action="store_true",
                     help="measure the config #5 per-chip slice instead: "
                          "RetinaNet R101-FPN at 1024px (196k anchors), "
@@ -80,14 +83,25 @@ def main() -> None:
 
     # iterations chain through `state`, so the device serializes them; sync
     # via scalar readback (block_until_ready can no-op on the tunneled TPU)
-    state, metrics = step(state, dict(batch))  # compile
-    _ = float(metrics["loss"])
     n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = step(state, dict(batch))
-    _ = float(metrics["loss"])
-    t1 = time.perf_counter()
+    if args.pipelined:
+        prime, pstep = train_lib.make_train_step_pipelined(module, anchors, cfg)
+        state, carry = prime(state, dict(batch))
+        state, carry, metrics = pstep(state, carry, dict(batch))  # compile
+        _ = float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, carry, metrics = pstep(state, carry, dict(batch))
+        _ = float(metrics["loss"])
+        t1 = time.perf_counter()
+    else:
+        state, metrics = step(state, dict(batch))  # compile
+        _ = float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, dict(batch))
+        _ = float(metrics["loss"])
+        t1 = time.perf_counter()
     r0 = time.perf_counter()
     _ = float(metrics["loss_cls"])
     rtt = time.perf_counter() - r0

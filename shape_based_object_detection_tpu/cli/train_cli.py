@@ -26,19 +26,37 @@ def build_dataset(cfg, args, include_ignore: bool = False):
     lb = cfg.data.letterbox
     dec = cfg.data.decode_backend
     if args.data_root.startswith("synthetic://"):
-        # explicit synthetic root ("synthetic://<seed-name>"): works with
-        # ANY config's dataset kind (e.g. --val-root synthetic://val while
-        # training a VOC preset on synthetic data); distinct names seed
-        # distinct splits so train and val never share images
+        # explicit synthetic root ("synthetic://<seed-name>[?k=v&...]"):
+        # works with ANY config's dataset kind (e.g. --val-root
+        # synthetic://val while training a VOC preset on synthetic data);
+        # distinct names seed distinct splits so train and val never share
+        # images. Query parameters size the benchmark — e.g.
+        # "synthetic://train?n=4000&max_objects=8&aspect_std=0.6&
+        # color_jitter=0.1" is a VOC-scale split (n images; the remaining
+        # generator knobs default to the tiny test values).
         import zlib
+        from urllib.parse import parse_qsl
 
+        name, _, query = args.data_root.removeprefix(
+            "synthetic://").partition("?")
+        params = dict(parse_qsl(query, strict_parsing=bool(query)))
+        known = {"n": int, "max_objects": int, "classes": int,
+                 "aspect_std": float, "color_jitter": float}
+        bad = sorted(set(params) - set(known))
+        if bad:
+            raise SystemExit(
+                f"unknown synthetic:// parameter(s) {bad}; "
+                f"known: {sorted(known)}")
+        kw = {k: known[k](v) for k, v in params.items()}
         # crc32, not hash(): str hashing is per-process randomized and the
-        # split must be reproducible across runs
-        seed = zlib.crc32(args.data_root.removeprefix(
-            "synthetic://").encode()) % (2**31)
+        # split must be reproducible across runs. Seeded by the NAME only,
+        # so n=4000 extends (not reshuffles) the n=64 split.
+        seed = zlib.crc32(name.encode()) % (2**31)
         return SyntheticDetection(
-            size=size, num_images=max(64, cfg.data.batch_size * 4),
-            num_classes=cfg.model.num_classes, seed=seed)
+            size=size,
+            num_images=kw.pop("n", max(64, cfg.data.batch_size * 4)),
+            num_classes=kw.pop("classes", cfg.model.num_classes),
+            seed=seed, **kw)
     if args.data_root and cfg.data.dataset == "voc":
         return VOCDetection(args.data_root, split=args.split, image_size=size,
                             letterbox=lb, include_difficult=include_ignore,
@@ -88,12 +106,17 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=4,
                    help="data-loader workers: threads for --loader threads, "
                         "processes for --loader grain (0 = serial/in-proc)")
-    p.add_argument("--loader", choices=["threads", "grain", "cache"],
+    p.add_argument("--loader", choices=["threads", "grain", "cache", "device"],
                    default="threads",
                    help="input pipeline: 'threads' = built-in thread-pool "
                         "Loader; 'grain' = grain with multi-process workers; "
                         "'cache' = pre-decode the dataset once into a memmap "
-                        "cache (see --cache-dir), then vectorized gathers")
+                        "cache (see --cache-dir), then vectorized gathers; "
+                        "'device' = the memmap cache staged entirely in "
+                        "device HBM, batches gathered on device (zero "
+                        "per-step H2D — for hosts whose transfer path, not "
+                        "the chip, bounds training; needs the dataset to "
+                        "fit in HBM)")
     p.add_argument("--cache-dir", default="",
                    help="--loader cache location (default "
                         "<checkpoint-dir>/data_cache)")
@@ -210,17 +233,18 @@ def main(argv=None):
 
         loader = GrainLoader(dataset, per_host_bs, cfg.data.max_boxes,
                              **loader_kwargs)
-    elif args.loader == "cache":
+    elif args.loader in ("cache", "device"):
         from shape_based_object_detection_tpu.data.cache import (
-            CacheLoader, MemmapDetection, build_cache,
+            CacheLoader, DeviceCacheLoader, MemmapDetection, build_cache,
         )
 
         cache_dir = args.cache_dir or os.path.join(
             cfg.train.checkpoint_dir, "data_cache")
         build_cache(dataset, cache_dir, cfg.data.max_boxes,
                     workers=max(1, args.workers))
-        loader = CacheLoader(MemmapDetection(cache_dir), per_host_bs,
-                             cfg.data.max_boxes, **loader_kwargs)
+        cls = DeviceCacheLoader if args.loader == "device" else CacheLoader
+        loader = cls(MemmapDetection(cache_dir), per_host_bs,
+                     cfg.data.max_boxes, **loader_kwargs)
     else:
         loader = Loader(dataset, per_host_bs, cfg.data.max_boxes,
                         **loader_kwargs)
@@ -253,11 +277,29 @@ def main(argv=None):
         # per-HOST batch size + host sharding: multi-host, each host loads
         # only its slice (see the sharded-eval note above); single-host this
         # is the plain full-split loader at the training batch size
-        val_loader = Loader(val_dataset, per_host_bs,
-                            cfg.data.max_boxes, shuffle=False,
-                            workers=args.workers,
-                            host_id=jax.process_index(),
-                            num_hosts=jax.process_count())
+        if args.loader == "device":
+            # transfer-bound host: stage the val split device-side too (an
+            # eval pass otherwise re-ships the whole split every
+            # --eval-every steps)
+            from shape_based_object_detection_tpu.data.cache import (
+                DeviceCacheLoader, MemmapDetection, build_cache,
+            )
+
+            val_cache_dir = (args.cache_dir or os.path.join(
+                cfg.train.checkpoint_dir, "data_cache")) + "_val"
+            build_cache(val_dataset, val_cache_dir, cfg.data.max_boxes,
+                        workers=max(1, args.workers))
+            val_loader = DeviceCacheLoader(
+                MemmapDetection(val_cache_dir), per_host_bs,
+                cfg.data.max_boxes, shuffle=False,
+                host_id=jax.process_index(),
+                num_hosts=jax.process_count())
+        else:
+            val_loader = Loader(val_dataset, per_host_bs,
+                                cfg.data.max_boxes, shuffle=False,
+                                workers=args.workers,
+                                host_id=jax.process_index(),
+                                num_hosts=jax.process_count())
         best_keeper = BestCheckpointKeeper(
             os.path.join(cfg.train.checkpoint_dir, "best"))
 
@@ -364,6 +406,39 @@ def main(argv=None):
     if step and (epoch or skip):
         print(f"resuming data schedule at epoch {epoch}, batch {skip}")
     nonfinite_steps = 0
+    # Lagged metrics consumption: materializing a step's metrics the moment
+    # it is dispatched would synchronize host and device EVERY step (the
+    # scalar D2H readback is one host<->device RTT, serial with the loop —
+    # ruinous on a tunneled chip where RTT rivals the step time). A small
+    # fixed lag keeps a few steps in flight; every value, meter, TB scalar
+    # and log line is identical, just consumed _METRIC_LAG steps later. The
+    # divergence guard fires with the same lag — params are equally
+    # poisoned either way, and resume-from-checkpoint is the recovery path.
+    import collections
+
+    _METRIC_LAG = 4
+    pending: collections.deque = collections.deque()
+
+    def _consume_metrics():
+        nonlocal nonfinite_steps
+        s, m = pending.popleft()
+        # 3 consecutive non-finite losses = the run is destroyed (params
+        # are inf/NaN); abort with the recovery path, don't train garbage.
+        if not np.isfinite(float(np.asarray(m["loss"]))):
+            nonfinite_steps += 1
+            if nonfinite_steps >= 3:
+                raise SystemExit(
+                    f"loss non-finite for {nonfinite_steps} consecutive "
+                    f"steps at step {s} — training has diverged. "
+                    "Resume from the last checkpoint in "
+                    f"{cfg.train.checkpoint_dir!r} with a lower "
+                    "train.base_lr (or enable train.grad_clip_norm).")
+        else:
+            nonfinite_steps = 0
+        line = logger.update(s, m, batch_size=cfg.data.batch_size)
+        if line:
+            print(line, flush=True)
+
     while step < cfg.train.total_steps:
         batch_iter = loader.device_batches(epoch, sharding=data_shard)
         if skip:
@@ -374,34 +449,23 @@ def main(argv=None):
         for batch in batch_iter:
             state, metrics = train_step(state, batch._asdict())
             step += 1
-            # Divergence guard: the logger materializes metrics each step
-            # anyway, so this costs one scalar check. 3 consecutive
-            # non-finite losses = the run is destroyed (params are inf/NaN);
-            # abort with the recovery path instead of training garbage.
-            if not np.isfinite(float(np.asarray(metrics["loss"]))):
-                nonfinite_steps += 1
-                if nonfinite_steps >= 3:
-                    raise SystemExit(
-                        f"loss non-finite for {nonfinite_steps} consecutive "
-                        f"steps at step {step} — training has diverged. "
-                        "Resume from the last checkpoint in "
-                        f"{cfg.train.checkpoint_dir!r} with a lower "
-                        "train.base_lr (or enable train.grad_clip_norm).")
-            else:
-                nonfinite_steps = 0
+            pending.append((step, metrics))
+            if len(pending) > _METRIC_LAG:
+                _consume_metrics()
             if preempted["flag"]:
+                while pending:
+                    _consume_metrics()
                 ckpt.save(state, step)
                 ckpt.wait()
                 loader.close()
                 print(f"preempted: checkpoint saved at step {step}",
                       flush=True)
                 return
-            line = logger.update(step, metrics, batch_size=cfg.data.batch_size)
-            if line:
-                print(line, flush=True)
             if step % cfg.train.checkpoint_every == 0:
                 ckpt.save(state, step)
             if eval_step is not None and step % args.eval_every == 0:
+                while pending:  # eval syncs anyway; keep log lines ordered
+                    _consume_metrics()
                 val_map = run_eval(state)
                 which = "val" if val_loader is not None else "train-sample"
                 line = f"step {step}  voc-mAP({which})={val_map:.4f}"
@@ -412,6 +476,8 @@ def main(argv=None):
             if step >= cfg.train.total_steps:
                 break
         epoch += 1
+    while pending:
+        _consume_metrics()
     ckpt.save(state, step)
     ckpt.wait()
     loader.close()

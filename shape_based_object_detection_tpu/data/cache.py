@@ -39,7 +39,8 @@ _LOCK_STALE_S = 600.0
 # contributes only the knobs it has.
 _IDENTITY_ATTRS = ("root", "split", "ann_file", "include_difficult",
                    "include_crowd", "seed", "num_classes", "num_images",
-                   "max_objects", "aspect_std", "decode_backend")
+                   "max_objects", "aspect_std", "color_jitter",
+                   "decode_backend")
 
 
 def _source_fingerprint(dataset, max_boxes: int) -> dict:
@@ -261,3 +262,88 @@ class CacheLoader(Loader):
                 valid=np.asarray(ds.valid[chunk, :g]),
                 crowd=np.asarray(ds.crowd[chunk, :g]),
             )
+
+
+class DeviceCacheLoader(CacheLoader):
+    """CacheLoader that stages the ENTIRE cache in device HBM once, then
+    assembles every batch with an on-device gather — zero per-step
+    host->device traffic.
+
+    Exists for environments where the per-batch H2D transfer, not the
+    device, bounds training throughput (e.g. a remotely-tunneled chip at
+    ~10-30 MB/s: a 512px b16 uint8 batch is 12.6 MB, capping train_cli at
+    ~30-40 img/s while the train step itself sustains ~250). The one-time
+    staging cost is len(dataset) x S x S x 3 bytes of HBM + one bulk
+    transfer; use only when that fits alongside the model (4k images at
+    512px = 3.1 GB of a v5e's 16 GB).
+
+    Single-process only: multi-host runs have per-host shards and a real
+    NIC, where the ordinary CacheLoader's prefetch path is the right tool.
+    """
+
+    def __init__(self, cache: MemmapDetection, batch_size: int,
+                 max_boxes: int, **kwargs):
+        import jax
+        import jax.numpy as jnp
+
+        super().__init__(cache, batch_size, max_boxes, **kwargs)
+        if jax.process_count() > 1:
+            raise ValueError(
+                "DeviceCacheLoader is single-process; multi-host training "
+                "shards batches per host over a real NIC — use CacheLoader")
+        g = max_boxes
+        ds = cache
+        self._dev = {
+            "images": jax.device_put(np.asarray(ds.images)),
+            "boxes": jax.device_put(np.asarray(ds.boxes[:, :g])),
+            "labels": jax.device_put(np.asarray(ds.labels[:, :g])),
+            "valid": jax.device_put(np.asarray(ds.valid[:, :g])),
+            "crowd": jax.device_put(np.asarray(ds.crowd[:, :g])),
+        }
+        self._gather = jax.jit(
+            lambda data, idx: {k: jnp.take(v, idx, axis=0)
+                               for k, v in data.items()})
+
+    def _device_batch(self, chunk: np.ndarray, sharding) -> DetectionBatch:
+        import jax
+
+        out = self._gather(self._dev, chunk.astype(np.int32))
+        if sharding is not None:
+            # device-to-device reshard (no host round-trip): lays the batch
+            # out exactly as the plain loaders' device_put(x, sharding) does
+            out = {k: jax.device_put(v, sharding) for k, v in out.items()}
+        return DetectionBatch(**out)
+
+    def device_batches(self, epoch: int = 0, sharding=None):
+        idx = self._epoch_indices(epoch)
+        bs = self.batch_size
+        if len(idx) < bs:
+            raise ValueError(
+                f"shard has {len(idx)} samples < batch_size {bs}: "
+                "shrink the batch or grow the dataset")
+        for start in range(0, len(idx) - bs + 1, bs):
+            # sorted batch membership matches CacheLoader bit-for-bit (its
+            # sort is a memmap-IO optimization; on device the order is
+            # indifferent, so keeping it makes the two tiers interchangeable
+            # mid-run). batches_padded must NOT sort: eval's n_valid contract
+            # is positional (pad rows live at the tail).
+            yield self._device_batch(np.sort(idx[start:start + bs]), sharding)
+
+    def batches_padded(self, epoch: int = 0):
+        """Eval-coverage iterator; images stay device-resident (the eval
+        step's device_put of an already-committed device array is a no-op),
+        annotations come back as host numpy for the metric accumulators."""
+        idx = self._epoch_indices(epoch)
+        bs = self.batch_size
+        for start in range(0, len(idx), bs):
+            chunk = idx[start:start + bs]
+            n_valid = len(chunk)
+            if n_valid < bs:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - n_valid)])
+            b = self._device_batch(chunk, None)
+            yield DetectionBatch(
+                images=b.images,
+                boxes=np.asarray(b.boxes), labels=np.asarray(b.labels),
+                valid=np.asarray(b.valid), crowd=np.asarray(b.crowd),
+            ), n_valid

@@ -42,17 +42,25 @@ class SyntheticDetection:
     elongated objects — the regime where shape-similarity matching (C13)
     differs from plain IoU. The default (0.0) keeps the original
     near-square sampler bit-identical (existing oracle tests depend on it).
+
+    ``color_jitter > 0`` adds a per-instance uniform RGB offset of up to
+    ±color_jitter·255 to the class color, so classification can no longer
+    key on one exact pixel value — classes with nearby hues genuinely
+    confuse, which keeps converged mAP off the 1.0 ceiling and makes
+    accuracy deltas (quantization drift, TTA gain) measurable. Default 0.0
+    keeps existing oracle images bit-identical.
     """
 
     def __init__(self, size: int = 300, num_images: int = 64,
                  max_objects: int = 4, num_classes: int = 4, seed: int = 0,
-                 aspect_std: float = 0.0):
+                 aspect_std: float = 0.0, color_jitter: float = 0.0):
         self.size = size
         self.num_images = num_images
         self.max_objects = max_objects
         self.num_classes = num_classes
         self.seed = seed
         self.aspect_std = aspect_std
+        self.color_jitter = color_jitter
 
     def __len__(self) -> int:
         return self.num_images
@@ -81,7 +89,13 @@ class SyntheticDetection:
             y0 = rng.uniform(0, 1 - h)
             cls = int(rng.integers(0, self.num_classes))
             px = [int(x0 * s), int(y0 * s), int((x0 + w) * s), int((y0 + h) * s)]
-            img[px[1] : px[3], px[0] : px[2]] = _class_color(cls)
+            color = _class_color(cls)
+            if self.color_jitter > 0:
+                j = int(self.color_jitter * 255)
+                color = np.clip(color.astype(np.int32)
+                                + rng.integers(-j, j + 1, 3), 0, 255
+                                ).astype(np.uint8)
+            img[px[1] : px[3], px[0] : px[2]] = color
             boxes.append([x0, y0, x0 + w, y0 + h])
             labels.append(cls + 1)
         return img, np.asarray(boxes, np.float32), np.asarray(labels, np.int32)

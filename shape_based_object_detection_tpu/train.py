@@ -118,18 +118,10 @@ def create_train_state(
     )
 
 
-def make_train_step(
-    module,
-    anchors: jnp.ndarray,
-    cfg: ExperimentConfig,
-    augment: bool = True,
-) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
-    """Builds the jitted, donated train step.
-
-    batch dict fields: images (B,S,S,3) uint8, boxes (B,G,4) normalized xyxy,
-    labels (B,G) int32 (1-based), valid (B,G) bool.
-    """
-    tx = make_optimizer(cfg.train)
+def make_loss_fn(module, anchors: jnp.ndarray, cfg: ExperimentConfig):
+    """loss_fn(params, extra_vars, images, boxes, labels, valid) ->
+    (loss, (metrics, new_extra_vars)) — the differentiable core shared by the
+    plain and pipelined train steps."""
     variances = cfg.model.anchors.variances
 
     train_bn = getattr(cfg.model, "train_bn", False)
@@ -159,6 +151,57 @@ def make_train_step(
         loss, metrics = detection_loss(cls_logits, box_offsets, match, cfg.loss)
         return loss, (metrics, new_extra)
 
+    return loss_fn
+
+
+def _grad_and_update(loss_fn, tx, cfg, state, rng, images, boxes, labels,
+                     valid):
+    """value_and_grad -> optimizer -> EMA -> new TrainState. Shared tail of
+    every train-step variant (the semantics live in one place)."""
+    (loss, (metrics, extra_vars)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params, state.extra_vars, images, boxes, labels, valid)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    d = cfg.train.ema_decay
+    if d > 0:
+        ema = jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p,
+                                     state.ema_params, params)
+        if cfg.train.grad_accum_steps > 1:
+            # EMA tracks OPTIMIZER updates, not micro-steps: under
+            # accumulation, params only change when MultiSteps' inner
+            # counter wraps to 0; folding unchanged params into the EMA
+            # every micro-step would silently raise the effective decay
+            # to d^k per update.
+            applied = opt_state.mini_step == 0
+            ema = jax.tree_util.tree_map(
+                lambda e_new, e_old: jnp.where(applied, e_new, e_old),
+                ema, state.ema_params)
+    else:
+        ema = state.ema_params
+    metrics = dict(metrics)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    new_state = state.replace(
+        step=state.step + 1, params=params, opt_state=opt_state, rng=rng,
+        ema_params=ema, extra_vars=extra_vars,
+    )
+    return new_state, metrics
+
+
+def make_train_step(
+    module,
+    anchors: jnp.ndarray,
+    cfg: ExperimentConfig,
+    augment: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
+    """Builds the jitted, donated train step.
+
+    batch dict fields: images (B,S,S,3) uint8, boxes (B,G,4) normalized xyxy,
+    labels (B,G) int32 (1-based), valid (B,G) bool.
+    """
+    tx = make_optimizer(cfg.train)
+    loss_fn = make_loss_fn(module, anchors, cfg)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         rng, step_rng = jax.random.split(state.rng)
@@ -175,36 +218,63 @@ def make_train_step(
             images = normalize_images(batch["images"], cfg.data.mean, cfg.data.std)
             boxes, labels, valid = batch["boxes"], batch["labels"], batch["valid"]
 
-        (loss, (metrics, extra_vars)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.extra_vars, images, boxes, labels, valid)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        d = cfg.train.ema_decay
-        if d > 0:
-            ema = jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p,
-                                         state.ema_params, params)
-            if cfg.train.grad_accum_steps > 1:
-                # EMA tracks OPTIMIZER updates, not micro-steps: under
-                # accumulation, params only change when MultiSteps' inner
-                # counter wraps to 0; folding unchanged params into the EMA
-                # every micro-step would silently raise the effective decay
-                # to d^k per update.
-                applied = opt_state.mini_step == 0
-                ema = jax.tree_util.tree_map(
-                    lambda e_new, e_old: jnp.where(applied, e_new, e_old),
-                    ema, state.ema_params)
-        else:
-            ema = state.ema_params
-        metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=rng,
-            ema_params=ema, extra_vars=extra_vars,
-        )
-        return new_state, metrics
+        return _grad_and_update(loss_fn, tx, cfg, state, rng,
+                                images, boxes, labels, valid)
 
     return train_step
+
+
+def make_train_step_pipelined(
+    module,
+    anchors: jnp.ndarray,
+    cfg: ExperimentConfig,
+):
+    """Software-pipelined train step: augmentation runs one batch AHEAD.
+
+    The plain step (make_train_step) computes augment(batch_i) -> forward ->
+    backward as one dependent chain, so the memory-bound augment stage sits
+    serially in front of the MXU-bound convs (~13% of step time, round-2
+    profile). Here step i's program instead (a) consumes the ALREADY
+    augmented ``carry`` for grad+update and (b) augments raw batch i+1 into
+    the next carry. The two subgraphs share no data, so XLA's latency-hiding
+    scheduler is free to interleave the augment's HBM traffic under the conv
+    compute — software pipelining at the program level, no second program or
+    host round-trip involved (on a single TensorCore, separately dispatched
+    programs would just serialize).
+
+    Returns ``(prime, step)``:
+      prime(state, batch)             -> (state, carry)   # augment batch 0
+      step(state, carry, next_batch)  -> (state, carry', metrics)
+
+    The driver loop feeds batch i+1 to step i; the final step may be fed any
+    batch (its augmented carry is simply dropped). Loss semantics are
+    identical to the plain step; only the rng->batch pairing shifts by one
+    (batch i+1 is augmented with step i's rng draw), so losses match the
+    plain step's distribution, not its bitstream.
+    """
+    tx = make_optimizer(cfg.train)
+    loss_fn = make_loss_fn(module, anchors, cfg)
+    size = cfg.model.image_size
+
+    def _augment(rng, batch):
+        return augment_batch(rng, batch["images"], batch["boxes"],
+                             batch["labels"], batch["valid"], cfg.data, size)
+
+    @jax.jit
+    def prime(state: TrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        return state.replace(rng=rng), _augment(step_rng, batch)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(state: TrainState, carry, next_batch):
+        rng, step_rng = jax.random.split(state.rng)
+        new_carry = _augment(step_rng, next_batch)
+        images, boxes, labels, valid = carry
+        new_state, metrics = _grad_and_update(
+            loss_fn, tx, cfg, state, rng, images, boxes, labels, valid)
+        return new_state, new_carry, metrics
+
+    return prime, step
 
 
 def make_eval_step(module, anchors: jnp.ndarray, cfg: ExperimentConfig,

@@ -519,3 +519,35 @@ def test_synthetic_scheme_val_root_with_voc_config():
         data_root="synthetic://val", ann_file="", split="val"),
         include_ignore=True)
     np.testing.assert_array_equal(ds[0][0], ds2[0][0])  # reproducible
+
+
+def test_synthetic_scheme_query_params():
+    """synthetic://name?k=v sizes the generated split (the capstone
+    convergence benchmark uses a VOC-scale n); the seed hangs off the NAME
+    only, so adding params never reshuffles the underlying image stream."""
+    import types
+
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu.cli.train_cli import build_dataset
+
+    cfg = config_lib.get_config("config3_ssd512_voc_train")
+
+    def build(root):
+        return build_dataset(cfg, types.SimpleNamespace(
+            data_root=root, ann_file="", split="val"), include_ignore=True)
+
+    ds = build("synthetic://cap?n=256&max_objects=8&aspect_std=0.6"
+               "&color_jitter=0.1&classes=20")
+    assert (len(ds), ds.max_objects, ds.num_classes) == (256, 8, 20)
+    assert (ds.aspect_std, ds.color_jitter) == (0.6, 0.1)
+    # same name, no params -> same seed: image 0 of the plain split matches
+    # a jitter-free parameterized split of any size
+    plain = build("synthetic://cap")
+    sized = build("synthetic://cap?n=256")
+    np.testing.assert_array_equal(plain[0][0], sized[0][0])
+    # jitter changes pixels (per-instance color offset) but not geometry
+    jit = ds[0]
+    assert not np.array_equal(jit[0], sized[0][0]) or ds.color_jitter == 0
+
+    with pytest.raises(SystemExit, match="unknown synthetic"):
+        build("synthetic://cap?nimages=10")

@@ -427,3 +427,45 @@ def test_loader_steps_per_epoch_multihost():
     ds = SyntheticDetection(size=32, num_images=15)
     l0 = Loader(ds, 2, 4, host_id=0, num_hosts=2)
     assert l0.steps_per_epoch() == 3  # 14 shared -> 7/host -> 3 full batches
+
+
+def test_device_cache_loader_matches_cache_loader(tmp_path):
+    """DeviceCacheLoader (whole cache staged in device memory, on-device
+    batch gathers — zero per-step H2D) yields bit-identical batches to
+    CacheLoader, both for training iteration and the padded eval iterator."""
+    import jax
+
+    from shape_based_object_detection_tpu.data.cache import (
+        CacheLoader, DeviceCacheLoader, MemmapDetection, build_cache,
+    )
+    from shape_based_object_detection_tpu.data.synthetic import (
+        SyntheticDetection,
+    )
+
+    ds = SyntheticDetection(size=64, num_images=11, num_classes=4, seed=3)
+    cache_dir = str(tmp_path / "cache")
+    build_cache(ds, cache_dir, max_boxes=6, workers=1)
+    mm = MemmapDetection(cache_dir)
+    host = CacheLoader(mm, batch_size=4, max_boxes=6)
+    dev = DeviceCacheLoader(MemmapDetection(cache_dir), batch_size=4,
+                            max_boxes=6)
+
+    n = 0
+    for b1, b2 in zip(host.device_batches(epoch=2),
+                      dev.device_batches(epoch=2)):
+        assert isinstance(b2.images, jax.Array)
+        for a, b in zip(b1, b2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        n += 1
+    assert n == 2  # 11 samples / batch 4 -> 2 full train batches
+
+    # eval iterator: full coverage incl. the ragged tail, annotations host-np
+    tails = []
+    for (b1, v1), (b2, v2) in zip(host.batches_padded(), dev.batches_padded()):
+        assert v1 == v2
+        assert isinstance(b2.boxes, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(b1.images),
+                                      np.asarray(b2.images))
+        np.testing.assert_array_equal(b1.labels, b2.labels)
+        tails.append(v2)
+    assert tails == [4, 4, 3]

@@ -454,3 +454,33 @@ def test_eval_step_use_ema_without_ema_raises():
     s = cfg.model.image_size
     with pytest.raises(ValueError, match="EMA"):
         eval_step(state, jnp.zeros((1, s, s, 3), jnp.uint8))
+
+
+def test_pipelined_step_matches_plain(tiny_setup):
+    """make_train_step_pipelined: prime() performs exactly the rng split the
+    plain step would, so the update computed from the consumed carry is
+    bit-identical to make_train_step(augment=True) on the same batch — the
+    pipelining only shifts WHEN augmentation runs, never its semantics.
+    (Measured on chip: the pipelined program is ~3% SLOWER than the fused
+    step — see BASELINE.md augmentation-pipelining ablation — so the fused
+    step remains the default; this variant is kept as the recorded
+    experiment.)"""
+    cfg, module, variables, anchors, _ = tiny_setup
+    batch = _fake_batch(cfg)
+
+    plain = train_lib.make_train_step(module, anchors, cfg, augment=True)
+    s_plain = train_lib.create_train_state(module, variables, cfg)
+    s_plain, m_plain = plain(s_plain, dict(batch))
+
+    prime, pstep = train_lib.make_train_step_pipelined(module, anchors, cfg)
+    s_pipe = train_lib.create_train_state(module, variables, cfg)
+    s_pipe, carry = prime(s_pipe, dict(batch))
+    s_pipe, carry2, m_pipe = pstep(s_pipe, carry, dict(batch))
+
+    assert float(m_plain["loss"]) == float(m_pipe["loss"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s_plain.params, s_pipe.params)
+    # the next carry is a fresh augmented batch with the right structure
+    assert carry2[0].shape == carry[0].shape

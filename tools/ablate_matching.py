@@ -65,7 +65,7 @@ def _make_cfg(args, shape_weight: float):
     )
 
 
-def run_arm(args, shape_weight: float) -> dict:
+def run_arm(args, shape_weight: float, seed: int = 7) -> dict:
     import jax
 
     from shape_based_object_detection_tpu import train as train_lib
@@ -86,14 +86,18 @@ def run_arm(args, shape_weight: float) -> dict:
         max_objects=args.max_objects, num_classes=cfg.model.num_classes,
         seed=2, aspect_std=args.aspect_std)  # disjoint generator stream
 
-    # identical init across arms: fixed PRNGKey; only MatchConfig differs
+    # identical init across arms AT EACH SEED: the seed drives model init,
+    # augmentation rng and data order together, so the two arms of one seed
+    # differ ONLY in MatchConfig, and seeds are independent replicates.
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, seed=seed))
     module, variables, anchors = build_model(cfg.model,
-                                             rng=jax.random.PRNGKey(7))
+                                             rng=jax.random.PRNGKey(seed))
     state = train_lib.create_train_state(module, variables, cfg)
     step_fn = train_lib.make_train_step(module, anchors, cfg, augment=True)
 
     loader = Loader(train_ds, cfg.data.batch_size, cfg.data.max_boxes,
-                    seed=0, shuffle=True)
+                    seed=seed, shuffle=True)
     t0 = time.time()
     step, epoch, last_loss = 0, 0, float("nan")
     while step < args.steps:
@@ -125,6 +129,7 @@ def run_arm(args, shape_weight: float) -> dict:
 
     return {
         "shape_weight": shape_weight,
+        "seed": seed,
         "mAP": _f(m["mAP"]), "AP50": _f(m["AP50"]), "AP75": _f(m["AP75"]),
         "APsmall": _f(m["APsmall"]), "APmedium": _f(m["APmedium"]),
         "APlarge": _f(m["APlarge"]),
@@ -149,27 +154,50 @@ def main(argv=None):
     p.add_argument("--train-images", type=int, default=512)
     p.add_argument("--val-images", type=int, default=128)
     p.add_argument("--max-objects", type=int, default=4)
+    p.add_argument("--seeds", type=int, default=3,
+                   help="independent replicates per arm (seeds 7..7+N-1); "
+                        "the reported delta is the PAIRED per-seed mean±std "
+                        "— single-seed deltas at tiny scale are noise")
     args = p.parse_args(argv)
 
-    results = [run_arm(args, 0.0), run_arm(args, args.shape_weight)]
+    seeds = list(range(7, 7 + args.seeds))
+    results = []
+    for seed in seeds:
+        for w in (0.0, args.shape_weight):
+            print(f"--- seed {seed}, shape_weight {w:g} ---", flush=True)
+            results.append(run_arm(args, w, seed=seed))
 
-    print(f"\n{'shape_w':>8} {'mAP':>7} {'AP50':>7} {'AP75':>7} "
+    print(f"\n{'seed':>5} {'shape_w':>8} {'mAP':>7} {'AP50':>7} {'AP75':>7} "
           f"{'APsmall':>8} {'APmed':>7} {'APlarge':>8}")
     for r in results:
         row = [r[k] for k in ("mAP", "AP50", "AP75", "APsmall", "APmedium",
                               "APlarge")]
         cells = " ".join(f"{v:>7.4f}" if v is not None else f"{'—':>7}"
                          for v in row)
-        print(f"{r['shape_weight']:>8g} {cells}")
-    delta = results[1]["mAP"] - results[0]["mAP"]
+        print(f"{r['seed']:>5} {r['shape_weight']:>8g} {cells}")
+
+    iou_maps = np.asarray([r["mAP"] for r in results
+                           if r["shape_weight"] == 0.0])
+    shape_maps = np.asarray([r["mAP"] for r in results
+                             if r["shape_weight"] != 0.0])
+    deltas = shape_maps - iou_maps  # paired per seed (same order)
     print(json.dumps({
         "metric": "shape_matching_map_delta_synthetic",
-        "value": round(delta, 4),
+        "value": round(float(deltas.mean()), 4),
+        "std": round(float(deltas.std(ddof=1)), 4) if len(deltas) > 1 else None,
         "unit": "mAP",
+        "iou_mAP_mean": round(float(iou_maps.mean()), 4),
+        "iou_mAP_std": round(float(iou_maps.std(ddof=1)), 4)
+        if len(iou_maps) > 1 else None,
+        "shape_mAP_mean": round(float(shape_maps.mean()), 4),
+        "shape_mAP_std": round(float(shape_maps.std(ddof=1)), 4)
+        if len(shape_maps) > 1 else None,
+        "seeds": seeds,
         "arms": results,
         "note": (f"tiny {args.family}, {args.steps} steps, aspect_std="
-                 f"{args.aspect_std}, identical init/data; COCO-protocol "
-                 "mAP on held-out synthetic val"),
+                 f"{args.aspect_std}, arms paired per seed (identical "
+                 "init/data within a seed); COCO-protocol mAP on held-out "
+                 "synthetic val"),
     }))
 
 
