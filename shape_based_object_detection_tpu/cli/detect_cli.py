@@ -11,6 +11,13 @@ import json
 
 
 def main(argv=None):
+    from shape_based_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    # persistent XLA cache: warm restarts of the big detection
+    # programs load in ~ms instead of recompiling for minutes
+    enable_compilation_cache()
     from shape_based_object_detection_tpu.utils.image import decode_image_host
 
     p = argparse.ArgumentParser()

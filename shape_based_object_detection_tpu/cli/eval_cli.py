@@ -14,6 +14,13 @@ import numpy as np
 
 
 def main(argv=None):
+    from shape_based_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    # persistent XLA cache: warm restarts of the big detection
+    # programs load in ~ms instead of recompiling for minutes
+    enable_compilation_cache()
     from shape_based_object_detection_tpu import config as config_lib
     from shape_based_object_detection_tpu.models.factory import build_model
     from shape_based_object_detection_tpu.eval import Evaluator
@@ -47,6 +54,9 @@ def main(argv=None):
                         "([{image_id, category_id, bbox xywh px, score}]) — "
                         "cross-checkable with pycocotools elsewhere; "
                         "requires a coco dataset")
+    p.add_argument("--ema", action="store_true",
+                   help="evaluate the EMA weights from the checkpoint "
+                        "(requires a run trained with --ema-decay > 0)")
     p.add_argument("--tta-hflip", action="store_true",
                    help="evaluate with horizontal-flip test-time "
                         "augmentation (fused doubled-batch forward, "
@@ -75,7 +85,9 @@ def main(argv=None):
         )
 
         variables = restore_checkpoint_variables(
-            cfg, module, variables, args.checkpoint_dir)
+            cfg, module, variables, args.checkpoint_dir, ema=args.ema)
+    elif args.ema:
+        raise SystemExit("--ema requires --checkpoint-dir")
     if args.act_scales and args.quantize != "full":
         raise SystemExit("--act-scales requires --quantize full")
 

@@ -17,6 +17,13 @@ from shape_based_object_detection_tpu.utils.platform import (
 
 
 def main(argv=None):
+    from shape_based_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    # persistent XLA cache: warm restarts of the big detection
+    # programs load in ~ms instead of recompiling for minutes
+    enable_compilation_cache()
     honor_jax_platforms_env()
 
     p = argparse.ArgumentParser()

@@ -70,6 +70,13 @@ def build_dataset(cfg, args, include_ignore: bool = False):
 
 
 def main(argv=None):
+    from shape_based_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    # persistent XLA cache: warm restarts of the big detection
+    # programs load in ~ms instead of recompiling for minutes
+    enable_compilation_cache()
     from shape_based_object_detection_tpu import config as config_lib
     from shape_based_object_detection_tpu.models.factory import build_model
     from shape_based_object_detection_tpu import train as train_lib

@@ -473,7 +473,11 @@ def config_from_dict(d: dict) -> ExperimentConfig:
 
 def save_config_file(cfg: ExperimentConfig, path: str) -> None:
     import json
+    import os
 
+    # --dump-config commonly targets the (not yet created) checkpoint dir
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(config_to_dict(cfg), f, indent=2)
         f.write("\n")

@@ -114,18 +114,65 @@ def main(argv=None):
                 "AR100": round(coco["AR100"], 4),
                 "voc_mAP": round(voc["mAP"], 4)}
 
+    def eval_multiscale(scales, hflip: bool = False):
+        """Multi-scale TTA arm (second classic TTA axis; retinanet-family
+        only — SSD's extras plan is image_size-dependent). Per-image
+        MultiScaleDetector path (the production detect_cli --tta-scales
+        machinery), detections mapped back to the eval frame."""
+        import numpy as np
+        import types
+
+        from shape_based_object_detection_tpu.detection import (
+            MultiScaleDetector,
+        )
+
+        mcfg = dataclasses.replace(
+            cfg.model, detect=dataclasses.replace(cfg.model.detect,
+                                                  tta_hflip=hflip))
+        msd = MultiScaleDetector(mcfg, trained, scales, cfg.data)
+        ev = Evaluator(area_scale=cfg.model.image_size)
+        s = cfg.model.image_size
+        for i in range(len(eval_ds)):
+            img, gt_boxes, gt_labels = eval_ds[i]
+            boxes_px, scores, labels = msd(img)
+            n = len(scores)
+            det = types.SimpleNamespace(
+                boxes=(np.asarray(boxes_px, np.float32) / s).reshape(1, n, 4),
+                scores=np.asarray(scores, np.float32).reshape(1, n),
+                labels=np.asarray(labels, np.int32).reshape(1, n),
+                valid=np.ones((1, n), bool))
+            ev.add_batch(det, gt_boxes[None], gt_labels[None] - 1,
+                         np.ones((1, len(gt_labels)), bool))
+        coco, voc = ev.coco(), ev.voc()
+        return {"coco_mAP": round(coco["mAP"], 4),
+                "AP50": round(coco["AP50"], 4),
+                "AR100": round(coco["AR100"], 4),
+                "voc_mAP": round(voc["mAP"], 4)}
+
     rows = {}
     for name, tta in (("plain", False), ("hflip-tta", True)):
         rows[name] = eval_mode(tta)
         print(json.dumps({"mode": name, **rows[name]}), flush=True)
+    if cfg.model.family == "retinanet":
+        s = cfg.model.image_size
+        scales = (s, max(32, round(s * 1.25 / 32) * 32))
+        rows[f"ms-tta{list(scales)}"] = eval_multiscale(scales)
+        print(json.dumps({"mode": f"ms-tta{list(scales)}",
+                          **rows[f"ms-tta{list(scales)}"]}), flush=True)
+        rows["ms+hflip-tta"] = eval_multiscale(scales, hflip=True)
+        print(json.dumps({"mode": "ms+hflip-tta",
+                          **rows['ms+hflip-tta']}), flush=True)
 
     print("\n| mode | COCO mAP | AP50 | AR100 | VOC mAP |")
     print("|---|---|---|---|---|")
     for name, r in rows.items():
         print(f"| {name} | {r['coco_mAP']} | {r['AP50']} | {r['AR100']} "
               f"| {r['voc_mAP']} |")
-    d = rows["hflip-tta"]["coco_mAP"] - rows["plain"]["coco_mAP"]
-    print(f"\nhflip-TTA coco mAP delta vs plain: {d:+.4f}")
+    base = rows["plain"]["coco_mAP"]
+    for name, r in rows.items():
+        if name != "plain":
+            print(f"{name} coco mAP delta vs plain: "
+                  f"{r['coco_mAP'] - base:+.4f}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# Post-capstone measurement battery (round-3 verdict item 1): every serving
+# tier / TTA / EMA accuracy claim re-measured against ONE converged
+# checkpoint — the config #3 SSD-512 capstone run's best-mAP checkpoint.
+# Sequential on purpose (single tunneled chip). Results tee'd to the log;
+# BASELINE.md records the numbers.
+#
+#   bash tools/run_capstone_evals.sh [CKPT_ROOT] [LOG]
+set -u
+ROOT=${1:-/tmp/capstone_ssd512}
+LOG=${2:-/tmp/capstone_evals.log}
+cd "$(dirname "$0")/.."
+
+CFG="$ROOT/resolved_config.json"
+BEST="$ROOT/best"
+VAL='synthetic://capstone-val?n=800&max_objects=8&aspect_std=0.6&color_jitter=0.1'
+TRAIN='synthetic://capstone-train?n=4000&max_objects=8&aspect_std=0.6&color_jitter=0.1'
+EVAL="python -m shape_based_object_detection_tpu.cli.eval_cli --config $CFG --data-root $VAL --checkpoint-dir $BEST --protocol coco"
+
+step() {
+  echo "=== $(date -u +%H:%M:%S) $* ===" | tee -a "$LOG"
+  timeout 1800 "$@" 2>&1 | grep -v WARNING | tee -a "$LOG"
+  echo "--- rc=${PIPESTATUS[0]} ---" | tee -a "$LOG"
+}
+
+# 1. the headline: 12-metric COCO eval of the best checkpoint (raw params)
+step $EVAL
+# 2. EMA weights (same checkpoint)
+step $EVAL --ema
+# 3. hflip test-time augmentation
+step $EVAL --tta-hflip
+# 4. int8 tiers: weight-only, dynamic-full, static-calibrated full.
+#    Calibration uses TRAIN-split images (no val leakage).
+step $EVAL --quantize weights
+step $EVAL --quantize full
+step python tools/calibrate_scales.py --config "$CFG" \
+  --checkpoint-dir "$BEST" --data-root "$TRAIN" --batches 8 \
+  --out "$ROOT/act_scales.json"
+step $EVAL --quantize full --act-scales "$ROOT/act_scales.json"
+echo "capstone eval battery done: $(date -u)" | tee -a "$LOG"
