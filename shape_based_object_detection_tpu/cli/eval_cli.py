@@ -57,6 +57,12 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true",
                    help="evaluate the EMA weights from the checkpoint "
                         "(requires a run trained with --ema-decay > 0)")
+    p.add_argument("--artifact", default="",
+                   help="evaluate an exported .sbdx artifact instead of "
+                        "checkpoint params — the export/artifact mAP-parity "
+                        "measurement (weights, preprocessing and NMS are "
+                        "baked into the program; incompatible with "
+                        "--checkpoint-dir/--quantize/--ema/--tta-hflip)")
     p.add_argument("--tta-hflip", action="store_true",
                    help="evaluate with horizontal-flip test-time "
                         "augmentation (fused doubled-batch forward, "
@@ -67,6 +73,19 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = config_lib.resolve_config(args.config, args.overrides)
+    if args.artifact:
+        # the artifact bakes weights + preprocessing + NMS into one frozen
+        # program: every knob that would alter that program must be rejected
+        # loud (the flags would otherwise silently not apply)
+        for flag, name in ((args.checkpoint_dir, "--checkpoint-dir"),
+                           (args.quantize, "--quantize"),
+                           (args.act_scales, "--act-scales"),
+                           (args.ema, "--ema"),
+                           (args.tta_hflip, "--tta-hflip")):
+            if flag:
+                raise SystemExit(f"--artifact is a frozen program: {name} "
+                                 "cannot apply (bake it at export time via "
+                                 "tools/export_model.py)")
     if args.tta_hflip:
         from shape_based_object_detection_tpu.cli.common import (
             enable_tta_hflip,
@@ -78,24 +97,52 @@ def main(argv=None):
 
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, dataset=args.dataset))
-    module, variables, anchors = build_model(cfg.model)
-    if args.checkpoint_dir:
-        from shape_based_object_detection_tpu.cli.common import (
-            restore_checkpoint_variables,
+    if args.artifact:
+        import dataclasses
+
+        from shape_based_object_detection_tpu.export import load_artifact
+
+        model = load_artifact(args.artifact)
+        hdr = model.header
+        # the eval geometry must match the baked program exactly — a silent
+        # mismatch would score resized-wrong pixels
+        for key, got in (("image_size", cfg.model.image_size),
+                         ("num_classes", cfg.model.num_classes),
+                         ("letterbox", cfg.data.letterbox)):
+            if hdr.get(key, got) != got:
+                raise SystemExit(
+                    f"artifact/config mismatch: header {key}="
+                    f"{hdr.get(key)!r} but --config resolves to {got!r}")
+        # the artifact has ONE compiled batch shape; batches_padded() pads
+        # the ragged tail to it
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          batch_size=hdr["batch_size"]))
+        variables = None
+
+        def detect(_, images):
+            return model(images)
+    else:
+        module, variables, anchors = build_model(cfg.model)
+        if args.checkpoint_dir:
+            from shape_based_object_detection_tpu.cli.common import (
+                restore_checkpoint_variables,
+            )
+
+            variables = restore_checkpoint_variables(
+                cfg, module, variables, args.checkpoint_dir, ema=args.ema)
+        elif args.ema:
+            raise SystemExit("--ema requires --checkpoint-dir")
+        if args.act_scales and args.quantize != "full":
+            raise SystemExit("--act-scales requires --quantize full")
+
+        from shape_based_object_detection_tpu.quantize import (
+            make_serving_detect,
         )
 
-        variables = restore_checkpoint_variables(
-            cfg, module, variables, args.checkpoint_dir, ema=args.ema)
-    elif args.ema:
-        raise SystemExit("--ema requires --checkpoint-dir")
-    if args.act_scales and args.quantize != "full":
-        raise SystemExit("--act-scales requires --quantize full")
-
-    from shape_based_object_detection_tpu.quantize import make_serving_detect
-
-    detect, variables = make_serving_detect(
-        module, anchors, cfg.model, cfg.data, variables, args.quantize,
-        activation_scales=args.act_scales or None)
+        detect, variables = make_serving_detect(
+            module, anchors, cfg.model, cfg.data, variables, args.quantize,
+            activation_scales=args.act_scales or None)
     # COCO protocol: crowd GT regions ride along as ignore regions, and the
     # area strata (32^2/96^2 px) follow pycocotools — ORIGINAL-image
     # annotation pixels, via per-image area factors when the dataset knows
@@ -114,7 +161,8 @@ def main(argv=None):
     # single-process only: multi-process, a device_put of host-local data
     # against a global sharding would reinterpret each host's batch as the
     # whole global batch (train_cli's run_eval owns the multi-host path)
-    if (jax.process_count() == 1 and jax.device_count() > 1
+    if (not args.artifact and jax.process_count() == 1
+            and jax.device_count() > 1
             and cfg.data.batch_size % jax.device_count() == 0):
         from shape_based_object_detection_tpu.parallel import (
             batch_sharding, replicated_sharding,

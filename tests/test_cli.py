@@ -551,3 +551,31 @@ def test_synthetic_scheme_query_params():
 
     with pytest.raises(SystemExit, match="unknown synthetic"):
         build("synthetic://cap?nimages=10")
+
+
+def test_eval_cli_from_artifact(tmp_path, capsys):
+    """eval_cli --artifact scores an exported .sbdx and matches the live
+    path's mAP exactly (same init weights, same synthetic val stream) — the
+    export/artifact mAP-parity measurement surface (eval_cli.py)."""
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu import export as export_lib
+    from shape_based_object_detection_tpu.cli.eval_cli import main
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    blob = export_lib.export_from_config(
+        cfg, batch_size=cfg.data.batch_size, platforms=("cpu",))
+    art = tmp_path / "m.sbdx"
+    export_lib.save_artifact(blob, str(art))
+
+    main(["--config", "tiny_retinanet", "--protocol", "voc",
+          "--max-batches", "1"])
+    live = json.loads(capsys.readouterr().out)
+    main(["--config", "tiny_retinanet", "--protocol", "voc",
+          "--max-batches", "1", "--artifact", str(art)])
+    from_artifact = json.loads(capsys.readouterr().out)
+    assert from_artifact["mAP"] == pytest.approx(live["mAP"], abs=1e-6)
+
+    # frozen-program flags are rejected loud, not silently ignored
+    with pytest.raises(SystemExit, match="frozen program"):
+        main(["--config", "tiny_retinanet", "--artifact", str(art),
+              "--quantize", "weights"])

@@ -45,6 +45,11 @@ def main(argv=None):
                    choices=["", "weights", "full", "full-static"])
     p.add_argument("--image-px", type=int, default=640,
                    help="source image edge (decoded+resized per request)")
+    p.add_argument("--loopback", action="store_true",
+                   help="substitute each assembled batch with a pre-staged "
+                        "device-resident tensor (zero H2D) — measures the "
+                        "server's own overhead ceiling on hosts whose "
+                        "transfer path dominates (see BASELINE.md)")
     p.add_argument("--no-buckets", dest="buckets", action="store_false",
                    help="disable batch-size bucketing (pad everything to "
                         "--batch-size)")
@@ -86,6 +91,35 @@ def main(argv=None):
     pred = Predictor(cfg, batch_size=args.batch_size, quantize=quantize,
                      activation_scales=act_scales, bucket_sizes=buckets)
     pred.warmup()  # compile every bucket up front
+
+    if args.loopback:
+        # Transfer-free ceiling (round-2 verdict item 6): this environment's
+        # tunneled chip caps host->device at ~10 MB/s, so the end-to-end
+        # numbers measure the TUNNEL, not the server. Substitute each
+        # assembled batch with a pre-staged DEVICE-resident tensor of the
+        # same bucket shape (jnp.asarray of a committed device array is a
+        # no-op -> zero H2D), keeping HTTP, request-thread decode, the
+        # batcher, dispatch and compute all in the measurement. Detections
+        # come from the staged pixels — a ceiling probe, not an accuracy
+        # path.
+        import jax
+
+        import shape_based_object_detection_tpu.serving as serving_mod
+
+        real_prepare = serving_mod.prepare_batch
+        staged: dict = {}
+
+        def staged_prepare(images, size, batch_size, letterbox=False,
+                           decode_backend="auto"):
+            batch, sizes = real_prepare(images, size, batch_size,
+                                        letterbox, decode_backend)
+            if batch_size not in staged:
+                staged[batch_size] = jax.device_put(batch)
+            return staged[batch_size], sizes
+
+        # Predictor methods resolve prepare_batch through serving's module
+        # globals at call time, so rebinding here covers submit/predict.
+        serving_mod.prepare_batch = staged_prepare
 
     server = DetectionServer(pred, port=0,
                              batch_window_ms=args.batch_window_ms)

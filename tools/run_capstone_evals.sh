@@ -37,4 +37,10 @@ step python tools/calibrate_scales.py --config "$CFG" \
   --checkpoint-dir "$BEST" --data-root "$TRAIN" --batches 8 \
   --out "$ROOT/act_scales.json"
 step $EVAL --quantize full --act-scales "$ROOT/act_scales.json"
+# 5. export/artifact parity: the bf16 program + converged weights baked into
+#    a .sbdx must score the same mAP through eval_cli --artifact (frozen
+#    StableHLO, scan NMS) as the live checkpoint path in step 1.
+step python tools/export_model.py --config "$CFG" \
+  --checkpoint-dir "$BEST" --batch-size 16 --out "$ROOT/capstone.sbdx"
+step $EVAL --artifact "$ROOT/capstone.sbdx"
 echo "capstone eval battery done: $(date -u)" | tee -a "$LOG"
