@@ -15,7 +15,8 @@ CFG="$ROOT/resolved_config.json"
 BEST="$ROOT/best"
 VAL='synthetic://capstone-val?n=800&max_objects=8&aspect_std=0.6&color_jitter=0.1'
 TRAIN='synthetic://capstone-train?n=4000&max_objects=8&aspect_std=0.6&color_jitter=0.1'
-EVAL="python -m shape_based_object_detection_tpu.cli.eval_cli --config $CFG --data-root $VAL --checkpoint-dir $BEST --protocol coco"
+EVAL_NOCKPT="python -m shape_based_object_detection_tpu.cli.eval_cli --config $CFG --data-root $VAL --protocol coco"
+EVAL="$EVAL_NOCKPT --checkpoint-dir $BEST"
 
 step() {
   echo "=== $(date -u +%H:%M:%S) $* ===" | tee -a "$LOG"
@@ -42,5 +43,7 @@ step $EVAL --quantize full --act-scales "$ROOT/act_scales.json"
 #    StableHLO, scan NMS) as the live checkpoint path in step 1.
 step python tools/export_model.py --config "$CFG" \
   --checkpoint-dir "$BEST" --batch-size 16 --out "$ROOT/capstone.sbdx"
-step $EVAL --artifact "$ROOT/capstone.sbdx"
+# frozen program: weights are baked in, so no --checkpoint-dir here
+# (eval_cli rejects the combination on purpose)
+step $EVAL_NOCKPT --artifact "$ROOT/capstone.sbdx"
 echo "capstone eval battery done: $(date -u)" | tee -a "$LOG"
