@@ -67,6 +67,15 @@ def main(argv=None):
                    help="evaluate with horizontal-flip test-time "
                         "augmentation (fused doubled-batch forward, "
                         "mirror-merged NMS; ~2x forward cost)")
+    p.add_argument("--tta-scales", default="",
+                   help="evaluate with multi-scale test-time augmentation: "
+                        "comma-separated image sizes (e.g. 512,640). Each "
+                        "batch uploads once at the base size; non-base "
+                        "scales resize on-device before the shared-params "
+                        "forward, and a cross-scale class-aware NMS merges. "
+                        "Composes with --tta-hflip. RetinaNet-family "
+                        "configs only (SSD's head plan is size-dependent); "
+                        "incompatible with --quantize/--artifact")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.KEY=VALUE",
                    help="config override (JSON-parsed values)")
@@ -81,7 +90,8 @@ def main(argv=None):
                            (args.quantize, "--quantize"),
                            (args.act_scales, "--act-scales"),
                            (args.ema, "--ema"),
-                           (args.tta_hflip, "--tta-hflip")):
+                           (args.tta_hflip, "--tta-hflip"),
+                           (args.tta_scales, "--tta-scales")):
             if flag:
                 raise SystemExit(f"--artifact is a frozen program: {name} "
                                  "cannot apply (bake it at export time via "
@@ -136,13 +146,36 @@ def main(argv=None):
         if args.act_scales and args.quantize != "full":
             raise SystemExit("--act-scales requires --quantize full")
 
-        from shape_based_object_detection_tpu.quantize import (
-            make_serving_detect,
-        )
+        if args.tta_scales:
+            if args.quantize:
+                raise SystemExit("--tta-scales evaluates the float "
+                                 "multi-scale programs; drop --quantize")
+            from shape_based_object_detection_tpu.detection import (
+                MultiScaleBatchDetector,
+            )
 
-        detect, variables = make_serving_detect(
-            module, anchors, cfg.model, cfg.data, variables, args.quantize,
-            activation_scales=args.act_scales or None)
+            try:
+                scales = [int(s) for s in args.tta_scales.split(",")
+                          if s.strip()]
+            except ValueError:
+                raise SystemExit(
+                    f"--tta-scales must be comma-separated integers "
+                    f"(e.g. 512,640), got {args.tta_scales!r}")
+            if not scales:
+                raise SystemExit("--tta-scales named no scales")
+            try:
+                detect = MultiScaleBatchDetector(cfg.model, variables,
+                                                 scales, cfg.data)
+            except ValueError as e:  # e.g. SSD at a foreign scale
+                raise SystemExit(str(e))
+        else:
+            from shape_based_object_detection_tpu.quantize import (
+                make_serving_detect,
+            )
+
+            detect, variables = make_serving_detect(
+                module, anchors, cfg.model, cfg.data, variables,
+                args.quantize, activation_scales=args.act_scales or None)
     # COCO protocol: crowd GT regions ride along as ignore regions, and the
     # area strata (32^2/96^2 px) follow pycocotools — ORIGINAL-image
     # annotation pixels, via per-image area factors when the dataset knows
@@ -161,7 +194,8 @@ def main(argv=None):
     # single-process only: multi-process, a device_put of host-local data
     # against a global sharding would reinterpret each host's batch as the
     # whole global batch (train_cli's run_eval owns the multi-host path)
-    if (not args.artifact and jax.process_count() == 1
+    if (not args.artifact and not args.tta_scales
+            and jax.process_count() == 1
             and jax.device_count() > 1
             and cfg.data.batch_size % jax.device_count() == 0):
         from shape_based_object_detection_tpu.parallel import (

@@ -207,6 +207,116 @@ def make_detect_fn(module, anchors_cxcywh: jnp.ndarray, cfg: ModelConfig,
     return detect
 
 
+def _build_scale_programs(model_cfg: ModelConfig, variables, scales,
+                          data_cfg: DataConfig | None = None,
+                          use_pallas: bool | None = None):
+    """One jitted detect() per scale, all serving the SAME param set, plus
+    the jitted cross-scale merge NMS. Validates each scale's architecture
+    against the shared params via ``jax.eval_shape`` (no FLOPs) — SSD's
+    extras/head plan is a function of image_size, so a foreign scale either
+    refuses to build or builds a different param tree; both raise a clear
+    error naming the scale. Shared by :class:`MultiScaleDetector`
+    (per-image, host resize) and :class:`MultiScaleBatchDetector`
+    (batched eval, on-device resize)."""
+    import dataclasses
+
+    from shape_based_object_detection_tpu.models.factory import build_module
+
+    ref_tree = jax.tree_util.tree_map(jnp.shape, variables)
+    per_scale = []
+    for s in scales:
+        scfg = dataclasses.replace(model_cfg, image_size=s)
+        module = build_module(scfg)  # params are shared across scales
+        err = (
+            f"multi-scale TTA: scale {s} changes the model's "
+            f"parameter plan (family {model_cfg.family!r} is not "
+            f"scale-agnostic — SSD's extras/heads depend on "
+            f"image_size), so the shared params cannot serve it. "
+            f"Use scales that preserve the plan, or a RetinaNet "
+            f"config (ResNet+FPN+shared subnets work at any size).")
+        try:
+            abs_vars = jax.eval_shape(
+                module.init, jax.random.PRNGKey(0),
+                jnp.zeros((1, s, s, 3), jnp.float32))
+        except Exception as e:
+            raise ValueError(f"{err} (build error: {e})") from e
+        if jax.tree_util.tree_map(jnp.shape, abs_vars) != ref_tree:
+            raise ValueError(err)
+        anchors = anchor_lib.anchors_for_model(scfg)
+        per_scale.append(
+            (make_detect_fn(module, anchors, scfg, data_cfg,
+                            use_pallas=use_pallas), s))
+
+    @jax.jit
+    def merge(boxes, scores, classes, valid):
+        return run_nms(boxes, scores, classes, valid, model_cfg,
+                       use_pallas=use_pallas)
+
+    return per_scale, merge
+
+
+class MultiScaleBatchDetector:
+    """Batched multi-scale TTA for evaluation (`eval_cli --tta-scales`).
+
+    Input is the input pipeline's fixed ``(B, S, S, 3)`` uint8 batch at the
+    BASE image size S; each non-base scale's jitted program resizes the
+    whole canvas on-device (bilinear, ``utils.image.resize_images``) ahead
+    of the shared-params forward, so the host uploads every batch exactly
+    once regardless of the scale count — the TPU-first layout of the
+    classic multi-scale eval loop. Per-scale detections are in normalized
+    [0, 1] coordinates (scale-independent), merged by one jitted
+    class-aware NMS. Because the resize covers the whole canvas, a
+    letterboxed base keeps its content fraction bit-exactly at every
+    scale — the per-scale rounding correction the per-image
+    :class:`MultiScaleDetector` needs does not arise here.
+
+    Caveat recorded, not hidden: for real datasets the loader already
+    resized original->base on the host, so non-base scales see
+    base->scale pixels (a double resample), not original->scale. On the
+    synthetic capstone benchmark the originals ARE base-sized, so the
+    measurement there is exact. Composes with hflip TTA via
+    ``model_cfg.detect.tta_hflip`` (each scale's program doubles its
+    batch internally).
+    """
+
+    def __init__(self, model_cfg: ModelConfig, variables, scales,
+                 data_cfg: DataConfig | None = None,
+                 use_pallas: bool | None = None):
+        if not scales:
+            raise ValueError("scales must name at least one image size")
+        self.scales = tuple(int(s) for s in scales)
+        per_scale, self._merge = _build_scale_programs(
+            model_cfg, variables, self.scales, data_cfg, use_pallas)
+        base = model_cfg.image_size
+        self._fns = []
+        for fn, s in per_scale:
+            if s == base:
+                self._fns.append(fn)
+            else:
+                self._fns.append(self._with_resize(fn, s))
+
+    @staticmethod
+    def _with_resize(fn, s: int):
+        @jax.jit
+        def scaled(params, images):
+            x = images.astype(jnp.float32)
+            if images.dtype == jnp.uint8:
+                x = x / 255.0  # float path: normalize_images skips /255
+            return fn(params, image_lib.resize_images(x, s))
+
+        return scaled
+
+    def __call__(self, params, images) -> nms_lib.Detections:
+        parts = [fn(params, images) for fn in self._fns]
+        if len(parts) == 1:
+            return parts[0]
+        return self._merge(
+            jnp.concatenate([d.boxes for d in parts], axis=1),
+            jnp.concatenate([d.scores for d in parts], axis=1),
+            jnp.concatenate([d.labels for d in parts], axis=1),
+            jnp.concatenate([d.valid for d in parts], axis=1))
+
+
 class MultiScaleDetector:
     """Multi-scale test-time augmentation (the second classic TTA axis next
     to :func:`postprocess_tta_hflip`, composable with it via
@@ -236,53 +346,13 @@ class MultiScaleDetector:
     def __init__(self, model_cfg: ModelConfig, variables, scales,
                  data_cfg: DataConfig | None = None,
                  use_pallas: bool | None = None, letterbox: bool = False):
-        import dataclasses
-
-        from shape_based_object_detection_tpu.models.factory import (
-            build_module,
-        )
-
         if not scales:
             raise ValueError("scales must name at least one image size")
         self.scales = tuple(int(s) for s in scales)
         self.letterbox = letterbox
         self.variables = variables
-        ref_tree = jax.tree_util.tree_map(jnp.shape, variables)
-        self._per_scale = []
-        for s in self.scales:
-            scfg = dataclasses.replace(model_cfg, image_size=s)
-            module = build_module(scfg)  # params are shared across scales
-            # Abstract init: does this scale's architecture accept the
-            # shared params? (SSD's extras/head plan varies with size —
-            # the plan itself may refuse to build at a foreign scale, or
-            # build with a different param tree.)
-            err = (
-                f"multi-scale TTA: scale {s} changes the model's "
-                f"parameter plan (family {model_cfg.family!r} is not "
-                f"scale-agnostic — SSD's extras/heads depend on "
-                f"image_size), so the shared params cannot serve it. "
-                f"Use scales that preserve the plan, or a RetinaNet "
-                f"config (ResNet+FPN+shared subnets work at any size).")
-            try:
-                abs_vars = jax.eval_shape(
-                    module.init, jax.random.PRNGKey(0),
-                    jnp.zeros((1, s, s, 3), jnp.float32))
-            except Exception as e:
-                raise ValueError(f"{err} (build error: {e})") from e
-            scale_tree = jax.tree_util.tree_map(jnp.shape, abs_vars)
-            if scale_tree != ref_tree:
-                raise ValueError(err)
-            anchors = anchor_lib.anchors_for_model(scfg)
-            self._per_scale.append(
-                (make_detect_fn(module, anchors, scfg, data_cfg,
-                                use_pallas=use_pallas), s))
-
-        @jax.jit
-        def merge(boxes, scores, classes, valid):
-            return run_nms(boxes, scores, classes, valid, model_cfg,
-                           use_pallas=use_pallas)
-
-        self._merge = merge
+        self._per_scale, self._merge = _build_scale_programs(
+            model_cfg, variables, self.scales, data_cfg, use_pallas)
 
     def __call__(self, image_np) -> Tuple:
         """Arbitrary (H, W, 3) uint8 numpy image -> (boxes_px, scores,

@@ -579,3 +579,27 @@ def test_eval_cli_from_artifact(tmp_path, capsys):
     with pytest.raises(SystemExit, match="frozen program"):
         main(["--config", "tiny_retinanet", "--artifact", str(art),
               "--quantize", "weights"])
+
+
+def test_eval_cli_multiscale_tta(capsys):
+    """--tta-scales runs the batched multi-scale path end-to-end (base +
+    1.5x, on-device resize, cross-scale merge) and reports metrics."""
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu.cli.eval_cli import main
+
+    s0 = config_lib.get_config("tiny_retinanet").model.image_size
+    main(["--config", "tiny_retinanet", "--protocol", "voc",
+          "--max-batches", "1",
+          "--tta-scales", f"{s0},{int(s0 * 1.5)}"])
+    metrics = json.loads(capsys.readouterr().out)
+    assert "mAP" in metrics
+
+
+def test_eval_cli_multiscale_tta_rejects_ssd_foreign_scale():
+    """An SSD config with a plan-changing scale exits with the clear
+    scale-agnostic error, not a crash inside apply."""
+    from shape_based_object_detection_tpu.cli.eval_cli import main
+
+    with pytest.raises(SystemExit, match="not\\s+scale-agnostic"):
+        main(["--config", "tiny_ssd", "--protocol", "voc",
+              "--max-batches", "1", "--tta-scales", "300,512"])

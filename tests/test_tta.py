@@ -268,3 +268,84 @@ def test_tta_through_predictor(rng):
          w - out.boxes[:, 0], out.boxes[:, 3]], axis=1)
     np.testing.assert_allclose(out_f.boxes, mirrored, atol=0.05)
     np.testing.assert_allclose(out_f.scores, out.scores, atol=2e-5)
+
+
+def test_multiscale_batch_single_scale_is_plain_detect(rng):
+    """MultiScaleBatchDetector with only the base scale is EXACTLY the plain
+    batched detect fn (no resize wrapper, no merge — same jitted program)."""
+    from shape_based_object_detection_tpu.detection import (
+        MultiScaleBatchDetector,
+    )
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    model_cfg = dataclasses.replace(
+        cfg.model, detect=dataclasses.replace(cfg.model.detect,
+                                              score_threshold=0.0))
+    module, variables, anchors = build_model(model_cfg)
+    s0 = model_cfg.image_size
+    imgs = rng.integers(0, 255, (2, s0, s0, 3), dtype=np.uint8)
+
+    ms = MultiScaleBatchDetector(model_cfg, variables, [s0], cfg.data)
+    det_ms = ms(variables, jnp.asarray(imgs))
+    detect = make_detect_fn(module, anchors, model_cfg, cfg.data)
+    det_1 = detect(variables, jnp.asarray(imgs))
+    np.testing.assert_array_equal(np.asarray(det_ms.valid),
+                                  np.asarray(det_1.valid))
+    np.testing.assert_allclose(np.asarray(det_ms.boxes),
+                               np.asarray(det_1.boxes), atol=0)
+    np.testing.assert_allclose(np.asarray(det_ms.scores),
+                               np.asarray(det_1.scores), atol=0)
+
+
+def test_multiscale_batch_merges_two_scales(rng):
+    """Batched two-scale TTA: one uint8 upload serves both scales (the
+    non-base program resizes on-device); the merged per-image output is a
+    valid class-aware NMS result over the union."""
+    from shape_based_object_detection_tpu.detection import (
+        MultiScaleBatchDetector,
+    )
+    from shape_based_object_detection_tpu.ops.boxes import iou_matrix
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    model_cfg = dataclasses.replace(
+        cfg.model, detect=dataclasses.replace(cfg.model.detect,
+                                              score_threshold=0.0))
+    _, variables, _ = build_model(model_cfg)
+    s0 = model_cfg.image_size
+    imgs = rng.integers(0, 255, (2, s0, s0, 3), dtype=np.uint8)
+
+    ms = MultiScaleBatchDetector(model_cfg, variables, [s0, 2 * s0],
+                                 cfg.data)
+    det = ms(variables, jnp.asarray(imgs))
+    thr = model_cfg.detect.nms_iou_threshold
+    for b in range(2):
+        v = np.asarray(det.valid[b])
+        assert v.any(), "merged multi-scale detections expected"
+        boxes = np.asarray(det.boxes[b])[v]
+        scores = np.asarray(det.scores[b])[v]
+        labels = np.asarray(det.labels[b])[v]
+        assert (np.diff(scores) <= 1e-6).all(), "NMS emits in score order"
+        iou = np.asarray(iou_matrix(jnp.asarray(boxes, jnp.float32),
+                                    jnp.asarray(boxes, jnp.float32)))
+        same = labels[:, None] == labels[None, :]
+        off_diag = ~np.eye(len(boxes), dtype=bool)
+        assert (iou[same & off_diag] < thr + 1e-6).all(), (
+            "cross-scale duplicates must be suppressed by the merge NMS")
+
+
+def test_multiscale_batch_rejects_plan_changing_ssd_scale():
+    """The batched class shares MultiScaleDetector's constructor-time scale
+    validation (SSD's extras/head plan depends on image_size)."""
+    import jax
+
+    from shape_based_object_detection_tpu.detection import (
+        MultiScaleBatchDetector,
+    )
+    from shape_based_object_detection_tpu.models.factory import build_module
+
+    cfg = config_lib.get_config("config1_ssd300_infer")
+    module = build_module(cfg.model)
+    abs_vars = jax.eval_shape(module.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 300, 300, 3), jnp.float32))
+    with pytest.raises(ValueError, match="not\\s+scale-agnostic"):
+        MultiScaleBatchDetector(cfg.model, abs_vars, [300, 512], cfg.data)
