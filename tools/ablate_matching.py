@@ -38,7 +38,13 @@ import numpy as np
 def _make_cfg(args, shape_weight: float):
     from shape_based_object_detection_tpu import config as config_lib
 
-    model_cfg = config_lib.tiny_test_model(args.family)
+    if args.model_preset:
+        model_cfg = config_lib.get_config(args.model_preset).model
+        family = model_cfg.family
+    else:
+        model_cfg = config_lib.tiny_test_model(args.family)
+        family = args.family
+    args.family = family  # loss kind + report label follow the real family
     # open up the detector for small/thin objects: the default tiny preset
     # keeps the real models' score threshold, fine here too
     decay = max(2 * args.steps // 3, 2)
@@ -142,6 +148,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--family", choices=["retinanet", "ssd"],
                    default="retinanet")
+    p.add_argument("--model-preset", default=None,
+                   help="full-size model preset (e.g. ssd300, "
+                        "retinanet_r50_fpn) instead of --family's tiny "
+                        "model — the at-scale version of the ablation")
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=0.01)
@@ -194,7 +204,8 @@ def main(argv=None):
         if len(shape_maps) > 1 else None,
         "seeds": seeds,
         "arms": results,
-        "note": (f"tiny {args.family}, {args.steps} steps, aspect_std="
+        "note": (f"{args.model_preset or ('tiny ' + args.family)}, "
+                 f"{args.steps} steps, aspect_std="
                  f"{args.aspect_std}, arms paired per seed (identical "
                  "init/data within a seed); COCO-protocol mAP on held-out "
                  "synthetic val"),
