@@ -102,12 +102,42 @@ def run_arm(args, shape_weight: float, seed: int = 7) -> dict:
     state = train_lib.create_train_state(module, variables, cfg)
     step_fn = train_lib.make_train_step(module, anchors, cfg, augment=True)
 
-    loader = Loader(train_ds, cfg.data.batch_size, cfg.data.max_boxes,
-                    seed=seed, shuffle=True)
+    if args.loader == "device":
+        # Full-size arms on a remotely-tunneled chip are H2D-bound through
+        # the plain Loader (an SSD-300 b8 f32 batch is 8.6 MB at ~10 MB/s);
+        # stage the whole synthetic split in HBM once and gather batches
+        # on-device, exactly like train_cli --loader device. The cache dir
+        # encodes every dataset parameter so flag changes rebuild.
+        from shape_based_object_detection_tpu.data.cache import (
+            CacheLoader, DeviceCacheLoader, MemmapDetection, build_cache,
+        )
+
+        tag = (f"{size}_{args.train_images}x{args.val_images}"
+               f"_a{args.aspect_std:g}_g{args.max_objects}"
+               f"_c{cfg.model.num_classes}")
+        train_dir = build_cache(
+            train_ds, os.path.join(args.cache_dir, f"train_{tag}"),
+            cfg.data.max_boxes, workers=1)
+        loader = DeviceCacheLoader(
+            MemmapDetection(train_dir), cfg.data.batch_size,
+            cfg.data.max_boxes, seed=seed, shuffle=True)
+        train_batches = loader.device_batches
+        val_dir = build_cache(
+            val_ds, os.path.join(args.cache_dir, f"val_{tag}"),
+            cfg.data.max_boxes, workers=1)
+        val_loader = DeviceCacheLoader(
+            MemmapDetection(val_dir), cfg.data.batch_size,
+            cfg.data.max_boxes, shuffle=False)
+    else:
+        loader = Loader(train_ds, cfg.data.batch_size, cfg.data.max_boxes,
+                        seed=seed, shuffle=True)
+        train_batches = loader.batches
+        val_loader = Loader(val_ds, cfg.data.batch_size, cfg.data.max_boxes,
+                            shuffle=False)
     t0 = time.time()
     step, epoch, last_loss = 0, 0, float("nan")
     while step < args.steps:
-        for batch in loader.batches(epoch):
+        for batch in train_batches(epoch):
             state, metrics = step_fn(state, batch._asdict())
             step += 1
             if step % max(args.steps // 10, 1) == 0:
@@ -121,8 +151,6 @@ def run_arm(args, shape_weight: float, seed: int = 7) -> dict:
 
     eval_step = train_lib.make_eval_step(module, anchors, cfg)
     evaluator = Evaluator(area_scale=size)
-    val_loader = Loader(val_ds, cfg.data.batch_size, cfg.data.max_boxes,
-                        shuffle=False)
     for batch, n_valid in val_loader.batches_padded():
         det = eval_step(state, batch.images)
         det = jax.tree_util.tree_map(lambda x: np.asarray(x)[:n_valid], det)
@@ -164,6 +192,15 @@ def main(argv=None):
     p.add_argument("--train-images", type=int, default=512)
     p.add_argument("--val-images", type=int, default=128)
     p.add_argument("--max-objects", type=int, default=4)
+    p.add_argument("--loader", choices=["threads", "device"],
+                   default="threads",
+                   help="device = stage the synthetic splits in device HBM "
+                        "once and gather batches on-device (use for "
+                        "--model-preset runs on a transfer-bound host; "
+                        "same batch membership/schedule, still paired "
+                        "per seed across arms)")
+    p.add_argument("--cache-dir", default="/tmp/ablate_matching_cache",
+                   help="--loader device memmap cache location")
     p.add_argument("--seeds", type=int, default=3,
                    help="independent replicates per arm (seeds 7..7+N-1); "
                         "the reported delta is the PAIRED per-seed mean±std "
