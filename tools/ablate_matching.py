@@ -47,7 +47,8 @@ def _make_cfg(args, shape_weight: float):
     args.family = family  # loss kind + report label follow the real family
     # open up the detector for small/thin objects: the default tiny preset
     # keeps the real models' score threshold, fine here too
-    decay = max(2 * args.steps // 3, 2)
+    warmup = max(20, args.steps // 20)
+    decay = max(2 * args.steps // 3, warmup + 1)
     return config_lib.ExperimentConfig(
         model=model_cfg,
         data=dataclasses.replace(
@@ -57,9 +58,9 @@ def _make_cfg(args, shape_weight: float):
             photometric=False, expand=False, random_crop=False, hflip=True,
         ),
         train=dataclasses.replace(
-            config_lib.TrainConfig(), base_lr=args.lr, warmup_steps=20,
+            config_lib.TrainConfig(), base_lr=args.lr, warmup_steps=warmup,
             weight_decay=0.0, total_steps=args.steps,
-            lr_decay_steps=(decay,) if decay > 20 else (21,),
+            lr_decay_steps=(decay,),
         ),
         match=config_lib.MatchConfig(
             pos_threshold=0.5, neg_threshold=0.4,
@@ -106,10 +107,11 @@ def run_arm(args, shape_weight: float, seed: int = 7) -> dict:
         # Full-size arms on a remotely-tunneled chip are H2D-bound through
         # the plain Loader (an SSD-300 b8 f32 batch is 8.6 MB at ~10 MB/s);
         # stage the whole synthetic split in HBM once and gather batches
-        # on-device, exactly like train_cli --loader device. The cache dir
-        # encodes every dataset parameter so flag changes rebuild.
+        # on-device, exactly like train_cli --loader device. The tag names
+        # the cache per flag combination for readability; correctness on a
+        # stale dir is guaranteed by build_cache's source fingerprint check.
         from shape_based_object_detection_tpu.data.cache import (
-            CacheLoader, DeviceCacheLoader, MemmapDetection, build_cache,
+            DeviceCacheLoader, MemmapDetection, build_cache,
         )
 
         tag = (f"{size}_{args.train_images}x{args.val_images}"
@@ -243,9 +245,12 @@ def main(argv=None):
         "arms": results,
         "note": (f"{args.model_preset or ('tiny ' + args.family)}, "
                  f"{args.steps} steps, aspect_std="
-                 f"{args.aspect_std}, arms paired per seed (identical "
-                 "init/data within a seed); COCO-protocol mAP on held-out "
-                 "synthetic val"),
+                 f"{args.aspect_std}, loader={args.loader} (device sorts "
+                 "indices within a batch, so per-sample augment RNG differs "
+                 "from threads runs — deltas are paired within one run, "
+                 "never across loader modes); arms paired per seed "
+                 "(identical init/data within a seed); COCO-protocol mAP "
+                 "on held-out synthetic val"),
     }))
 
 
