@@ -62,11 +62,11 @@ def main(argv=None):
 
     import os
 
-    if args.tta_scales and (args.artifact or args.quantize
-                            or args.int8_activations):
+    if args.tta_scales and args.artifact:
         raise SystemExit(
-            "--tta-scales runs the float multi-program path; it cannot "
-            "combine with --artifact or the int8 flags")
+            "--tta-scales cannot modify an exported --artifact (its program "
+            "is frozen at one scale); export per-scale artifacts or drop "
+            "--artifact")
     if args.artifact and args.tta_hflip:
         # same frozen-program rule as the quantize flags below: export with
         # model.detect.tta_hflip=true to bake TTA into the artifact
@@ -166,6 +166,13 @@ def _build_runner(args):
             variables = restore_checkpoint_variables(
                 cfg, module, variables, args.checkpoint_dir, ema=args.ema)
 
+        if args.int8_activations and not args.quantize:
+            raise SystemExit("--int8-activations requires --quantize")
+        if args.act_scales and not args.int8_activations:
+            raise SystemExit("--act-scales requires --int8-activations")
+        mode = ("full" if args.int8_activations else
+                "weights" if args.quantize else "")
+
         if args.tta_scales:
             from shape_based_object_detection_tpu.detection import (
                 MultiScaleDetector,
@@ -181,21 +188,18 @@ def _build_runner(args):
             if not scales:
                 raise SystemExit("--tta-scales named no scales")
             # MultiScaleDetector is itself run(img) -> (boxes, scores,
-            # labels); composes with --tta-hflip via cfg.model.detect
+            # labels); composes with --tta-hflip via cfg.model.detect and
+            # with the int8 flags (one quantized tree serves every scale)
             return MultiScaleDetector(cfg.model, variables, scales,
                                       cfg.data,
-                                      letterbox=cfg.data.letterbox)
+                                      letterbox=cfg.data.letterbox,
+                                      quantize=mode,
+                                      activation_scales=args.act_scales
+                                      or None)
 
-        if args.int8_activations and not args.quantize:
-            raise SystemExit("--int8-activations requires --quantize")
         from shape_based_object_detection_tpu.quantize import (
             make_serving_detect,
         )
-
-        if args.act_scales and not args.int8_activations:
-            raise SystemExit("--act-scales requires --int8-activations")
-        mode = ("full" if args.int8_activations else
-                "weights" if args.quantize else "")
         detect, variables = make_serving_detect(
             module, anchors, cfg.model, cfg.data, variables, mode,
             activation_scales=args.act_scales or None)

@@ -73,9 +73,11 @@ def main(argv=None):
                         "batch uploads once at the base size; non-base "
                         "scales resize on-device before the shared-params "
                         "forward, and a cross-scale class-aware NMS merges. "
-                        "Composes with --tta-hflip. RetinaNet-family "
-                        "configs only (SSD's head plan is size-dependent); "
-                        "incompatible with --quantize/--artifact")
+                        "Composes with --tta-hflip AND with --quantize "
+                        "[--act-scales] (one quantized param tree serves "
+                        "every scale). RetinaNet-family configs only (SSD's "
+                        "head plan is size-dependent); incompatible with "
+                        "--artifact (frozen program)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.KEY=VALUE",
                    help="config override (JSON-parsed values)")
@@ -147,9 +149,6 @@ def main(argv=None):
             raise SystemExit("--act-scales requires --quantize full")
 
         if args.tta_scales:
-            if args.quantize:
-                raise SystemExit("--tta-scales evaluates the float "
-                                 "multi-scale programs; drop --quantize")
             from shape_based_object_detection_tpu.detection import (
                 MultiScaleBatchDetector,
             )
@@ -164,10 +163,15 @@ def main(argv=None):
             if not scales:
                 raise SystemExit("--tta-scales named no scales")
             try:
-                detect = MultiScaleBatchDetector(cfg.model, variables,
-                                                 scales, cfg.data)
+                # --quantize composes: the throughput tier (static int8) and
+                # the accuracy tier (multi-scale TTA) are one deployment
+                detect = MultiScaleBatchDetector(
+                    cfg.model, variables, scales, cfg.data,
+                    quantize=args.quantize,
+                    activation_scales=args.act_scales or None)
             except ValueError as e:  # e.g. SSD at a foreign scale
                 raise SystemExit(str(e))
+            variables = detect.serving_variables
         else:
             from shape_based_object_detection_tpu.quantize import (
                 make_serving_detect,

@@ -209,7 +209,8 @@ def make_detect_fn(module, anchors_cxcywh: jnp.ndarray, cfg: ModelConfig,
 
 def _build_scale_programs(model_cfg: ModelConfig, variables, scales,
                           data_cfg: DataConfig | None = None,
-                          use_pallas: bool | None = None):
+                          use_pallas: bool | None = None,
+                          quantize: str = "", activation_scales=None):
     """One jitted detect() per scale, all serving the SAME param set, plus
     the jitted cross-scale merge NMS. Validates each scale's architecture
     against the shared params via ``jax.eval_shape`` (no FLOPs) — SSD's
@@ -217,10 +218,33 @@ def _build_scale_programs(model_cfg: ModelConfig, variables, scales,
     refuses to build or builds a different param tree; both raise a clear
     error naming the scale. Shared by :class:`MultiScaleDetector`
     (per-image, host resize) and :class:`MultiScaleBatchDetector`
-    (batched eval, on-device resize)."""
+    (batched eval, on-device resize).
+
+    ``quantize`` ("", "weights", "full") builds each scale's program as the
+    int8 serving tier instead of float: the weights are scale-agnostic, so
+    ONE :func:`quantize.quantize_params` tree serves every scale's program
+    (returned as ``serving_variables``; pass THAT to the per-scale fns).
+    ``activation_scales`` (dict or JSON path) makes "full" use calibrated
+    static scales; per-TENSOR activation scales have no spatial dimension,
+    so scales calibrated at the base size apply at every scale — measure
+    the residual drift with ``eval_cli --tta-scales ... --quantize full
+    --act-scales`` (the combined best-throughput + best-accuracy tier).
+
+    Returns ``(per_scale, merge, serving_variables)``."""
     import dataclasses
 
     from shape_based_object_detection_tpu.models.factory import build_module
+    from shape_based_object_detection_tpu.quantize import (
+        load_activation_scales, make_quantized_detect_fn,
+        normalize_quantize_mode, quantize_params,
+    )
+
+    quantize = normalize_quantize_mode(quantize)
+    if isinstance(activation_scales, str):
+        activation_scales = load_activation_scales(activation_scales)
+    if activation_scales is not None and quantize != "full":
+        raise ValueError(
+            "activation_scales only applies to quantize mode 'full'")
 
     ref_tree = jax.tree_util.tree_map(jnp.shape, variables)
     per_scale = []
@@ -243,16 +267,23 @@ def _build_scale_programs(model_cfg: ModelConfig, variables, scales,
         if jax.tree_util.tree_map(jnp.shape, abs_vars) != ref_tree:
             raise ValueError(err)
         anchors = anchor_lib.anchors_for_model(scfg)
-        per_scale.append(
-            (make_detect_fn(module, anchors, scfg, data_cfg,
-                            use_pallas=use_pallas), s))
+        if quantize:
+            fn = make_quantized_detect_fn(
+                module, anchors, scfg, data_cfg, use_pallas=use_pallas,
+                int8_activations=(quantize == "full"),
+                activation_scales=activation_scales)
+        else:
+            fn = make_detect_fn(module, anchors, scfg, data_cfg,
+                                use_pallas=use_pallas)
+        per_scale.append((fn, s))
 
     @jax.jit
     def merge(boxes, scores, classes, valid):
         return run_nms(boxes, scores, classes, valid, model_cfg,
                        use_pallas=use_pallas)
 
-    return per_scale, merge
+    serving_variables = quantize_params(variables) if quantize else variables
+    return per_scale, merge, serving_variables
 
 
 class MultiScaleBatchDetector:
@@ -281,12 +312,17 @@ class MultiScaleBatchDetector:
 
     def __init__(self, model_cfg: ModelConfig, variables, scales,
                  data_cfg: DataConfig | None = None,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 quantize: str = "", activation_scales=None):
         if not scales:
             raise ValueError("scales must name at least one image size")
         self.scales = tuple(int(s) for s in scales)
-        per_scale, self._merge = _build_scale_programs(
-            model_cfg, variables, self.scales, data_cfg, use_pallas)
+        per_scale, self._merge, self.serving_variables = (
+            _build_scale_programs(model_cfg, variables, self.scales,
+                                  data_cfg, use_pallas,
+                                  quantize=quantize,
+                                  activation_scales=activation_scales))
+        self._quantized = bool(quantize)
         base = model_cfg.image_size
         self._fns = []
         for fn, s in per_scale:
@@ -307,6 +343,19 @@ class MultiScaleBatchDetector:
         return scaled
 
     def __call__(self, params, images) -> nms_lib.Detections:
+        if self._quantized:
+            # the quantized per-scale programs expect the QTensor tree built
+            # in __init__ (self.serving_variables); a float tree here would
+            # silently evaluate the float path and measure nothing
+            from shape_based_object_detection_tpu.quantize import QTensor
+
+            leaves = jax.tree_util.tree_leaves(
+                params, is_leaf=lambda x: isinstance(x, QTensor))
+            if not any(isinstance(l, QTensor) for l in leaves):
+                raise ValueError(
+                    "this MultiScaleBatchDetector was built with quantize="
+                    "...; call it with .serving_variables (the quantized "
+                    "tree), not the float variables")
         parts = [fn(params, images) for fn in self._fns]
         if len(parts) == 1:
             return parts[0]
@@ -345,14 +394,18 @@ class MultiScaleDetector:
 
     def __init__(self, model_cfg: ModelConfig, variables, scales,
                  data_cfg: DataConfig | None = None,
-                 use_pallas: bool | None = None, letterbox: bool = False):
+                 use_pallas: bool | None = None, letterbox: bool = False,
+                 quantize: str = "", activation_scales=None):
         if not scales:
             raise ValueError("scales must name at least one image size")
         self.scales = tuple(int(s) for s in scales)
         self.letterbox = letterbox
-        self.variables = variables
-        self._per_scale, self._merge = _build_scale_programs(
-            model_cfg, variables, self.scales, data_cfg, use_pallas)
+        # quantize != "" stores the QTensor tree — the per-scale programs
+        # built below are the matching int8 tier (weights are
+        # scale-agnostic, so one quantized tree serves every scale)
+        self._per_scale, self._merge, self.variables = _build_scale_programs(
+            model_cfg, variables, self.scales, data_cfg, use_pallas,
+            quantize=quantize, activation_scales=activation_scales)
 
     def __call__(self, image_np) -> Tuple:
         """Arbitrary (H, W, 3) uint8 numpy image -> (boxes_px, scores,

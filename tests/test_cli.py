@@ -595,6 +595,54 @@ def test_eval_cli_multiscale_tta(capsys):
     assert "mAP" in metrics
 
 
+def test_eval_cli_multiscale_tta_composes_with_quantize(capsys):
+    """--tta-scales + --quantize evaluate together (VERDICT r3 item 5: the
+    best-throughput tier and the best-accuracy tier are one deployment):
+    the int8 multi-scale battery runs end-to-end and lands near the float
+    multi-scale result."""
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu.cli.eval_cli import main
+
+    s0 = config_lib.get_config("tiny_retinanet").model.image_size
+    scales = f"{s0},{int(s0 * 1.5)}"
+    main(["--config", "tiny_retinanet", "--protocol", "voc",
+          "--max-batches", "1", "--tta-scales", scales])
+    float_metrics = json.loads(capsys.readouterr().out)
+    main(["--config", "tiny_retinanet", "--protocol", "voc",
+          "--max-batches", "1", "--tta-scales", scales,
+          "--quantize", "full"])
+    int8_metrics = json.loads(capsys.readouterr().out)
+    # untrained tiny model on synthetic data: both mAPs are ~0; the check
+    # is end-to-end execution + same-ballpark numerics, not accuracy
+    assert "mAP" in int8_metrics
+    assert int8_metrics["mAP"] == pytest.approx(float_metrics["mAP"],
+                                                abs=0.05)
+
+
+def test_multiscale_batch_detector_quantized_rejects_float_tree():
+    """A quantize=... MultiScaleBatchDetector called with the float tree
+    raises the clear serving_variables error instead of silently running
+    the float path (which would measure nothing)."""
+    import jax.numpy as jnp
+
+    from shape_based_object_detection_tpu import config as config_lib
+    from shape_based_object_detection_tpu.detection import (
+        MultiScaleBatchDetector,
+    )
+    from shape_based_object_detection_tpu.models.factory import build_model
+
+    cfg = config_lib.get_config("tiny_retinanet")
+    module, variables, _ = build_model(cfg.model)
+    det = MultiScaleBatchDetector(cfg.model, variables, [cfg.model.image_size],
+                                  cfg.data, quantize="weights")
+    s = cfg.model.image_size
+    images = jnp.zeros((2, s, s, 3), jnp.uint8)
+    with pytest.raises(ValueError, match="serving_variables"):
+        det(variables, images)
+    out = det(det.serving_variables, images)  # the documented call works
+    assert out.boxes.shape[0] == 2
+
+
 def test_eval_cli_multiscale_tta_rejects_ssd_foreign_scale():
     """An SSD config with a plan-changing scale exits with the clear
     scale-agnostic error, not a crash inside apply."""
