@@ -44,6 +44,14 @@ def _make_cfg(args, shape_weight: float):
     else:
         model_cfg = config_lib.tiny_test_model(args.family)
         family = args.family
+    if args.num_classes:
+        # resolving power needs per-class data density: 80-class presets on
+        # an N-image synthetic split leave N/80 images per class and the
+        # arms' absolute mAP floors at ~0 (measured 2026-08-20, 3000-step
+        # 80-class run: both arms < 0.002 mAP). 20 classes matches the
+        # capstone benchmark's density.
+        model_cfg = dataclasses.replace(model_cfg,
+                                        num_classes=args.num_classes)
     args.family = family  # loss kind + report label follow the real family
     # open up the detector for small/thin objects: the default tiny preset
     # keeps the real models' score threshold, fine here too
@@ -194,6 +202,11 @@ def main(argv=None):
     p.add_argument("--train-images", type=int, default=512)
     p.add_argument("--val-images", type=int, default=128)
     p.add_argument("--max-objects", type=int, default=4)
+    p.add_argument("--num-classes", type=int, default=0,
+                   help="override the preset's class count (0 = keep); "
+                        "full-size presets are 80-class COCO shapes — use "
+                        "20 to match the capstone benchmark's per-class "
+                        "data density")
     p.add_argument("--loader", choices=["threads", "device"],
                    default="threads",
                    help="device = stage the synthetic splits in device HBM "

@@ -32,11 +32,16 @@ MODELS = {
 
 
 def bench_one(model_key: str, batch: int, iters: int, windows: int,
-              quantize: str = "", tta: bool = False) -> dict:
+              quantize: str = "", tta: bool = False,
+              tta_scales: str = "") -> dict:
     """``quantize``: "" (bf16) | "weights" (int8 weight-only) | "full"
     (int8 weights + dynamic-int8 activations on the MXU) | "full-static"
     (calibrated static activation scales — calibrated in-process on the
-    bench inputs; measures the PTQ latency tier)."""
+    bench inputs; measures the PTQ latency tier). ``tta_scales`` (e.g.
+    "512,640") measures the batched multi-scale TTA path
+    (MultiScaleBatchDetector) — composes with ``quantize``: the
+    throughput-champion static-int8 tier under the accuracy-champion
+    multi-scale TTA."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -64,9 +69,19 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int,
         act_scales = calibrate_activation_scales(
             module, variables, [images_np], cfg.data)
         quantize = "full"
-    detect, variables = make_serving_detect(
-        module, anchors, model_cfg, cfg.data, variables, quantize,
-        activation_scales=act_scales)
+    if tta_scales:
+        from shape_based_object_detection_tpu.detection import (
+            MultiScaleBatchDetector,
+        )
+
+        detect = MultiScaleBatchDetector(
+            model_cfg, variables, [int(s) for s in tta_scales.split(",")],
+            cfg.data, quantize=quantize, activation_scales=act_scales)
+        variables = detect.serving_variables
+    else:
+        detect, variables = make_serving_detect(
+            module, anchors, model_cfg, cfg.data, variables, quantize,
+            activation_scales=act_scales)
 
     images = jnp.asarray(images_np)
 
@@ -96,6 +111,7 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int,
     return {
         "model": model_key, "image_size": size, "batch": batch,
         "quantized": quantize_label, "tta_hflip": tta,
+        "tta_scales": tta_scales,
         "ms_per_batch": round(best_dt * 1e3, 3),
         "images_per_sec_per_chip": round(batch / best_dt, 1),
     }
@@ -103,7 +119,7 @@ def bench_one(model_key: str, batch: int, iters: int, windows: int,
 
 def _run_cell_subprocess(model: str, batch: int, iters: int,
                          windows: int, quantize: str = "",
-                         tta: bool = False) -> dict:
+                         tta: bool = False, tta_scales: str = "") -> dict:
     """One cell per child process: a TPU-worker crash (observed with the
     SSD-512 fused program) kills the client for the whole process, so cells
     must not share one. The worker itself restarts in ~2 min; retry once."""
@@ -115,6 +131,8 @@ def _run_cell_subprocess(model: str, batch: int, iters: int,
         cmd.extend(["--quantize", quantize])
     if tta:
         cmd.append("--tta")
+    if tta_scales:
+        cmd.extend(["--tta-scales", tta_scales])
     for attempt in range(2):
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
@@ -149,6 +167,10 @@ def main() -> None:
     ap.add_argument("--tta", action="store_true",
                     help="bench with hflip test-time augmentation "
                          "(model.detect.tta_hflip=true; ~2x forward work)")
+    ap.add_argument("--tta-scales", default="",
+                    help="bench the batched multi-scale TTA path (e.g. "
+                         "512,640); composes with --quantize (one quantized "
+                         "tree serves every scale) and --tta")
     ap.add_argument("--one", default="",
                     help="internal: run a single 'model:batch' cell and exit")
     args = ap.parse_args()
@@ -162,7 +184,8 @@ def main() -> None:
     if args.one:
         m, b = args.one.rsplit(":", 1)
         print(json.dumps(bench_one(m, int(b), args.iters, args.windows,
-                                   quantize=args.quantize, tta=args.tta)),
+                                   quantize=args.quantize, tta=args.tta,
+                                   tta_scales=args.tta_scales)),
               flush=True)
         return
 
@@ -171,7 +194,8 @@ def main() -> None:
         for b in (int(x) for x in args.batches.split(",")):
             row = _run_cell_subprocess(m.strip(), b, args.iters,
                                        args.windows, quantize=args.quantize,
-                                       tta=args.tta)
+                                       tta=args.tta,
+                                       tta_scales=args.tta_scales)
             print(json.dumps(row), flush=True)
             rows.append(row)
 

@@ -46,4 +46,13 @@ step python tools/export_model.py --config "$CFG" \
 # frozen program: weights are baked in, so no --checkpoint-dir here
 # (eval_cli rejects the combination on purpose)
 step $EVAL_NOCKPT --artifact "$ROOT/capstone.sbdx"
+# 6. TTA arms (scale-agnostic families only: set TTA_SCALES for RetinaNet
+#    capstones, leave empty for SSD). Includes the COMPOSED tier — the
+#    static-int8 throughput champion under multi-scale TTA (VERDICT r3
+#    item 5): one quantized tree serves every scale.
+if [ -n "${TTA_SCALES:-}" ]; then
+  step $EVAL --tta-scales "$TTA_SCALES"
+  step $EVAL --tta-scales "$TTA_SCALES" --quantize full \
+    --act-scales "$ROOT/act_scales.json"
+fi
 echo "capstone eval battery done: $(date -u)" | tee -a "$LOG"
