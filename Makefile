@@ -1,8 +1,13 @@
 # Common workflows
-.PHONY: test bench bench-train bench-matrix demo serving export native lint
+.PHONY: test test-fast bench bench-train bench-matrix demo serving export native lint
 
 test:
 	python -m pytest tests/ -q
+
+# iteration tier: skips the compile-heavy suites (marked slow in pytest.ini);
+# measured wall times for both tiers are in STATUS.md
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py
