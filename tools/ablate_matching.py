@@ -164,8 +164,14 @@ def run_arm(args, shape_weight: float, seed: int = 7) -> dict:
     for batch, n_valid in val_loader.batches_padded():
         det = eval_step(state, batch.images)
         det = jax.tree_util.tree_map(lambda x: np.asarray(x)[:n_valid], det)
+        # GT labels are 1-based (0 = background) everywhere in the data
+        # layer; detection labels are 0-based class ids — shift like
+        # eval_cli/train_cli do. (Rounds 1–3 of this tool lacked the -1, so
+        # every arm scored ~0 mAP against off-by-one classes and the
+        # recorded "null" deltas measured nothing.)
         evaluator.add_batch(det, batch.boxes[:n_valid],
-                            batch.labels[:n_valid], batch.valid[:n_valid])
+                            batch.labels[:n_valid] - 1,
+                            batch.valid[:n_valid])
     m = evaluator.coco()
 
     def _f(v):  # strata with no GT are NaN; emit strict JSON
@@ -243,6 +249,11 @@ def main(argv=None):
     shape_maps = np.asarray([r["mAP"] for r in results
                              if r["shape_weight"] != 0.0])
     deltas = shape_maps - iou_maps  # paired per seed (same order)
+    if max(iou_maps.mean(), shape_maps.mean()) < 0.05:
+        print("WARNING: both arms' absolute mAP < 0.05 — the benchmark has "
+              "no resolving power at this scale/step count (or the harness "
+              "is broken); the delta below measures noise, not the matcher.",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "shape_matching_map_delta_synthetic",
         "value": round(float(deltas.mean()), 4),
