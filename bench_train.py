@@ -27,6 +27,11 @@ def main() -> None:
                     choices=["float32", "bfloat16"],
                     help="compute dtype of the fused augmentation stage "
                          "(DataConfig.augment_dtype)")
+    ap.add_argument("--momentum-dtype", default="",
+                    choices=["", "float32", "bfloat16"],
+                    help="SGD momentum accumulator dtype "
+                         "(TrainConfig.momentum_dtype; bfloat16 halves the "
+                         "optimizer state's HBM traffic per step)")
     ap.add_argument("--pipelined", action="store_true",
                     help="measure make_train_step_pipelined (augment of "
                          "batch i+1 folded into step i's program)")
@@ -61,7 +66,8 @@ def main() -> None:
         data=dataclasses.replace(cfg.data, batch_size=batch_size,
                                  max_boxes=64,
                                  augment_dtype=args.augment_dtype),
-        train=dataclasses.replace(cfg.train, remat=args.remat),
+        train=dataclasses.replace(cfg.train, remat=args.remat,
+                                  momentum_dtype=args.momentum_dtype),
     )
     module, variables, anchors = build_model(model_cfg)
     state = train_lib.create_train_state(module, variables, cfg)

@@ -170,6 +170,15 @@ class TrainConfig:
     optimizer: str = "sgd"
     base_lr: float = 1e-3
     momentum: float = 0.9
+    # dtype of the SGD momentum accumulator (optax accumulator_dtype).
+    # "bfloat16" halves the optimizer state's HBM read+write per step — the
+    # backward/update-pass bandwidth lever measured in
+    # tools/profile_backward.py; "" keeps optax's default (= param dtype,
+    # f32 here). Accuracy note: momentum is a smoothed average, so bf16's
+    # 8-bit mantissa costs ~0.4% relative noise on a quantity that is itself
+    # decayed 0.9 per step — measured drift on the capstone benchmark is
+    # within seed noise (BASELINE.md round-4 backward section).
+    momentum_dtype: str = ""
     weight_decay: float = 5e-4
     warmup_steps: int = 500
     total_steps: int = 120_000

@@ -76,7 +76,9 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
         if cfg.weight_decay:
             parts.append(optax.add_decayed_weights(cfg.weight_decay,
                                                    mask=decay_mask))
-        parts.append(optax.sgd(schedule, momentum=cfg.momentum, nesterov=False))
+        parts.append(optax.sgd(
+            schedule, momentum=cfg.momentum, nesterov=False,
+            accumulator_dtype=getattr(cfg, "momentum_dtype", "") or None))
     elif cfg.optimizer == "adamw":
         # decoupled decay through adamw itself (its default weight_decay is
         # NONZERO and unmasked — always override it with ours + the mask)

@@ -152,6 +152,35 @@ def test_train_step_with_remat(tiny_setup):
                                rtol=1e-4)
 
 
+def test_momentum_dtype_bfloat16(tiny_setup):
+    """TrainConfig.momentum_dtype="bfloat16" (the optimizer-HBM lever,
+    tools/profile_backward.py): the SGD trace is stored bf16, params stay
+    f32 master weights, and the update direction matches f32-momentum
+    within bf16 rounding."""
+    cfg, module, variables, anchors, step_fn = tiny_setup
+    m16_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, momentum_dtype="bfloat16"))
+    m16_step = train_lib.make_train_step(module, anchors, m16_cfg,
+                                         augment=False)
+    batch = _fake_batch(cfg)
+    s1 = train_lib.create_train_state(module, variables, cfg)
+    s2 = train_lib.create_train_state(module, variables, m16_cfg)
+    trace16 = [l for l in jax.tree_util.tree_leaves(s2.opt_state)
+               if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert trace16, "momentum accumulator should be bfloat16"
+    for _ in range(3):
+        s1, m1 = step_fn(s1, batch)
+        s2, m2 = m16_step(s2, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-3)
+    p1 = np.asarray(jax.tree_util.tree_leaves(s1.params)[0])
+    p2 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
+    assert p2.dtype == np.float32  # master weights unaffected
+    np.testing.assert_allclose(p1, p2, rtol=0, atol=2e-2)
+    assert not np.allclose(p1, np.asarray(
+        jax.tree_util.tree_leaves(variables["params"])[0]))
+
+
 def test_train_step_bfloat16(tiny_setup):
     """bf16 compute path trains: finite loss + finite grads."""
     cfg, module, variables, anchors, _ = tiny_setup

@@ -115,7 +115,8 @@ def main(argv=None):
     train_cfg = dataclasses.replace(
         train_cfg,
         ema_decay=0.999 if args.ema else 0.0,
-        remat=args.remat)
+        remat=args.remat,
+        momentum_dtype=args.momentum_dtype)
     cfg = dataclasses.replace(
         config_lib.get_config("config2_retinanet_r50_infer"),
         model=model_cfg, train=train_cfg)
@@ -123,18 +124,9 @@ def main(argv=None):
     module, variables, anchors = build_model(model_cfg)
     loss_fn = train_lib.make_loss_fn(module, anchors, cfg)
 
+    # TrainConfig.momentum_dtype is a real config lever now (set above), so
+    # the production optimizer chain IS the measured one.
     tx = train_lib.make_optimizer(train_cfg)
-    if args.momentum_dtype:
-        # rebuild the chain with the accumulator dtype (make_optimizer's
-        # structure, one knob changed — the measurement, not a config path)
-        schedule = train_lib.make_lr_schedule(train_cfg)
-        parts = [optax.clip_by_global_norm(train_cfg.grad_clip_norm)]
-        if train_cfg.weight_decay:
-            parts.append(optax.add_decayed_weights(
-                train_cfg.weight_decay, mask=train_lib.decay_mask))
-        parts.append(optax.sgd(schedule, momentum=train_cfg.momentum,
-                               accumulator_dtype=args.momentum_dtype))
-        tx = optax.chain(*parts)
 
     params = variables["params"]
     extra = {k: v for k, v in variables.items() if k != "params"}
