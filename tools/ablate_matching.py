@@ -226,14 +226,41 @@ def main(argv=None):
                    help="independent replicates per arm (seeds 7..7+N-1); "
                         "the reported delta is the PAIRED per-seed mean±std "
                         "— single-seed deltas at tiny scale are noise")
+    p.add_argument("--arms-file", default="",
+                   help="JSONL path: append each finished arm's result and, "
+                        "on restart, skip (seed, shape_weight) arms already "
+                        "recorded — a multi-hour run survives a tunnel "
+                        "flake at the cost of one arm instead of all of "
+                        "them (a 10-arm run wedged at arm 10 on "
+                        "2026-08-20 and lost 9 in-memory results)")
     args = p.parse_args(argv)
+
+    done: dict[tuple[int, float], dict] = {}
+    if args.arms_file and os.path.exists(args.arms_file):
+        with open(args.arms_file) as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    done[(r["seed"], r["shape_weight"])] = r
+        if done:
+            print(f"resuming: {len(done)} arm(s) loaded from "
+                  f"{args.arms_file}", flush=True)
 
     seeds = list(range(7, 7 + args.seeds))
     results = []
     for seed in seeds:
         for w in (0.0, args.shape_weight):
+            if (seed, w) in done:
+                print(f"--- seed {seed}, shape_weight {w:g} --- (cached)",
+                      flush=True)
+                results.append(done[(seed, w)])
+                continue
             print(f"--- seed {seed}, shape_weight {w:g} ---", flush=True)
-            results.append(run_arm(args, w, seed=seed))
+            r = run_arm(args, w, seed=seed)
+            results.append(r)
+            if args.arms_file:
+                with open(args.arms_file, "a") as f:
+                    f.write(json.dumps(r) + "\n")
 
     print(f"\n{'seed':>5} {'shape_w':>8} {'mAP':>7} {'AP50':>7} {'AP75':>7} "
           f"{'APsmall':>8} {'APmed':>7} {'APlarge':>8}")
