@@ -32,6 +32,10 @@ class CheckpointManager:
             step = int(jax.device_get(state.step))
         self._mgr.save(step, args=ocp.args.StandardSave(state))
 
+    def all_steps(self) -> list:
+        """Retained checkpoint steps, ascending (oldest → newest)."""
+        return sorted(int(s) for s in self._mgr.all_steps())
+
     def restore_latest(self, template: TrainState) -> Optional[TrainState]:
         """Restore the newest checkpoint into the template's structure, or
         None if the directory is empty (fresh start).
@@ -44,6 +48,13 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None
+        return self.restore_step(step, template)
+
+    def restore_step(self, step: int, template: TrainState) -> TrainState:
+        """Restore a specific retained step (see ``all_steps``), with the
+        same automatic EMA-subtree structure matching as ``restore_latest``
+        (used by tools/average_checkpoints.py to walk the retention
+        window)."""
         try:
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template)
