@@ -60,6 +60,9 @@ def main() -> None:
     else:
         model_cfg = dataclasses.replace(
             config_lib.RETINANET_R50_512, dtype="bfloat16")
+    if args.remat:
+        # segment-wise model remat (ModelConfig.remat) — the effective lever
+        model_cfg = dataclasses.replace(model_cfg, remat=True)
     cfg = dataclasses.replace(
         cfg,
         model=model_cfg,

@@ -176,6 +176,13 @@ def main(argv=None):
         if not args.steps:
             return
 
+    if cfg.train.remat and not cfg.model.remat:
+        # promote to segment-wise model remat (the effective memory lever;
+        # see ModelConfig.remat) — train.py then skips its legacy
+        # whole-forward jax.checkpoint
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat=True))
+
     module, variables, anchors = build_model(cfg.model)
     if args.init_params:
         import orbax.checkpoint as ocp

@@ -122,6 +122,14 @@ class ModelConfig:
     # from-scratch COCO training). False = frozen running stats, the standard
     # fine-tuning mode; eval/detect always use running stats either way.
     train_bn: bool = False
+    # Segment-wise rematerialization: each backbone block and each FPN/head
+    # application is wrapped in flax nn.remat, so only segment-boundary
+    # activations survive the forward pass and everything inside a segment is
+    # recomputed during backward. This is the REAL memory lever — a single
+    # jax.checkpoint around the whole forward (TrainConfig.remat's legacy
+    # behavior) recomputes everything at once and leaves peak backward memory
+    # unchanged. train_cli promotes TrainConfig.remat to this flag.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

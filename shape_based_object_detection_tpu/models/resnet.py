@@ -67,6 +67,11 @@ class ResNet(nn.Module):
     width_mult: float = 1.0
     dtype: jnp.dtype = jnp.float32
     train_bn: bool = False
+    # Per-block rematerialization (ModelConfig.remat): only each bottleneck's
+    # INPUT is saved for backward; the three convs + BN inside are recomputed.
+    # Same param tree (names are set explicitly), grad-identical, ~stage-sized
+    # activation memory instead of whole-trunk.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -74,6 +79,9 @@ class ResNet(nn.Module):
 
         blocks = STAGE_BLOCKS[self.variant]
         w = lambda c: _round_ch(c, self.width_mult)
+        # static_argnums counts self: (self=0, x=1, train=2)
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if self.remat else Bottleneck)
 
         x = nn.Conv(w(64), (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
@@ -88,8 +96,8 @@ class ResNet(nn.Module):
         for stage, (n_blocks, ch) in enumerate(zip(blocks, widths)):
             for blk in range(n_blocks):
                 stride = 2 if (blk == 0 and stage > 0) else 1
-                x = Bottleneck(channels=ch, stride=stride, dtype=self.dtype,
-                               train_bn=self.train_bn,
-                               name=f"layer{stage + 1}_{blk}")(x, train)
+                x = block_cls(channels=ch, stride=stride, dtype=self.dtype,
+                              train_bn=self.train_bn,
+                              name=f"layer{stage + 1}_{blk}")(x, train)
             taps.append(x)
         return taps[1], taps[2], taps[3]  # C3, C4, C5

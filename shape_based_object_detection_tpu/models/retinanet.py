@@ -70,19 +70,25 @@ class RetinaNet(nn.Module):
         cfg = self.cfg
         c3, c4, c5 = ResNet(variant=cfg.backbone, width_mult=cfg.width_mult,
                             dtype=dtype, train_bn=cfg.train_bn,
-                            name="backbone")(x, train)
-        pyramid = FPN(out_channels=cfg.fpn_channels, dtype=dtype,
-                      name="fpn")(c3, c4, c5)
+                            remat=cfg.remat, name="backbone")(x, train)
+        fpn_cls = nn.remat(FPN) if cfg.remat else FPN
+        pyramid = fpn_cls(out_channels=cfg.fpn_channels, dtype=dtype,
+                          name="fpn")(c3, c4, c5)
 
         from shape_based_object_detection_tpu.ops.anchors import num_anchors_per_cell
 
         a = num_anchors_per_cell(cfg.anchors, 0, "retinanet")
-        cls_head = RetinaNetHead(
+        # With cfg.remat, each per-level head application is its own remat
+        # segment: the 4-deep 256-channel subnet towers at P3 (80x80 at 640px)
+        # are the largest non-backbone activations; only the pyramid inputs
+        # and final predictions survive the forward.
+        head_cls = nn.remat(RetinaNetHead) if cfg.remat else RetinaNetHead
+        cls_head = head_cls(
             num_outputs=cfg.num_classes, num_anchors=a, depth=cfg.head_depth,
             channels=cfg.fpn_channels,
             final_bias=-math.log((1.0 - PRIOR_PROB) / PRIOR_PROB),
             dtype=dtype, name="cls_head")
-        box_head = RetinaNetHead(
+        box_head = head_cls(
             num_outputs=4, num_anchors=a, depth=cfg.head_depth,
             channels=cfg.fpn_channels, dtype=dtype, name="box_head")
 

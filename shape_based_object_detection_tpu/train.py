@@ -138,9 +138,14 @@ def make_loss_fn(module, anchors: jnp.ndarray, cfg: ExperimentConfig):
         def fwd(variables, x):
             return module.apply(variables, x), None
     apply_fn = fwd
-    if cfg.train.remat:
-        # recompute activations in the backward pass instead of keeping them
-        # in HBM — the large-resolution (config #5) memory lever
+    model_remat = getattr(getattr(module, "cfg", None), "remat", False)
+    if cfg.train.remat and not model_remat:
+        # Legacy whole-forward jax.checkpoint. NOTE: this barely lowers PEAK
+        # memory (the backward recomputes the entire forward and then holds
+        # the same activations); the effective lever is ModelConfig.remat
+        # (segment-wise nn.remat inside the model), which train_cli promotes
+        # this flag to. Kept so a module built without model-level remat
+        # still gets the old behavior (test_train.py loss-parity oracle).
         apply_fn = jax.checkpoint(fwd)
 
     def loss_fn(params, extra_vars, images, boxes, labels, valid):

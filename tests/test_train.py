@@ -152,6 +152,33 @@ def test_train_step_with_remat(tiny_setup):
                                rtol=1e-4)
 
 
+def test_train_step_with_segmented_remat(tiny_setup):
+    """ModelConfig.remat (per-block nn.remat — the R101-640 capstone's memory
+    lever): identical param tree to the plain model, and a train step from the
+    same init matches the no-remat loss/grads (remat is gradient-exact)."""
+    cfg, module, variables, anchors, step_fn = tiny_setup
+    remat_cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, remat=True),
+        train=dataclasses.replace(cfg.train, remat=True),
+    )
+    remat_module, remat_vars, _ = build_model(remat_cfg.model)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(remat_vars))
+    # make_loss_fn must pick the segmented path (no double-checkpoint): the
+    # module's own cfg carries remat, so the legacy whole-fwd wrap is skipped
+    remat_step = train_lib.make_train_step(remat_module, anchors, remat_cfg,
+                                           augment=False)
+    batch = _fake_batch(cfg)
+    s1 = train_lib.create_train_state(module, variables, cfg)
+    s2 = train_lib.create_train_state(remat_module, variables, remat_cfg)
+    _, m1 = step_fn(s1, batch)
+    _, m2 = remat_step(s2, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)
+
+
 def test_momentum_dtype_bfloat16(tiny_setup):
     """TrainConfig.momentum_dtype="bfloat16" (the optimizer-HBM lever,
     tools/profile_backward.py): the SGD trace is stored bf16, params stay
