@@ -41,7 +41,8 @@ def build_dataset(cfg, args, include_ignore: bool = False):
             "synthetic://").partition("?")
         params = dict(parse_qsl(query, strict_parsing=bool(query)))
         known = {"n": int, "max_objects": int, "classes": int,
-                 "aspect_std": float, "color_jitter": float}
+                 "aspect_std": float, "color_jitter": float,
+                 "area_lo": float, "area_hi": float, "class_aspect": float}
         bad = sorted(set(params) - set(known))
         if bad:
             raise SystemExit(
@@ -170,18 +171,20 @@ def main(argv=None):
             cfg, train=dataclasses.replace(cfg.train,
                                            ema_decay=args.ema_decay))
 
+    if cfg.train.remat and not cfg.model.remat:
+        # promote to segment-wise model remat (the effective memory lever;
+        # see ModelConfig.remat; honored by both families — resnet.py
+        # per-block nn.remat, vgg.py/ssd.py per-stage segments) — train.py
+        # then skips its legacy whole-forward jax.checkpoint. Runs before
+        # --dump-config so the dumped JSON records the effective value.
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat=True))
+
     if args.dump_config:
         config_lib.save_config_file(cfg, args.dump_config)
         print(f"wrote resolved config to {args.dump_config}")
         if not args.steps:
             return
-
-    if cfg.train.remat and not cfg.model.remat:
-        # promote to segment-wise model remat (the effective memory lever;
-        # see ModelConfig.remat) — train.py then skips its legacy
-        # whole-forward jax.checkpoint
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, remat=True))
 
     module, variables, anchors = build_model(cfg.model)
     if args.init_params:

@@ -49,11 +49,31 @@ class SyntheticDetection:
     confuse, which keeps converged mAP off the 1.0 ceiling and makes
     accuracy deltas (quantization drift, TTA gain) measurable. Default 0.0
     keeps existing oracle images bit-identical.
+
+    Benchmark-diversity knobs (round 5; both default off so every existing
+    split is bit-identical):
+
+    ``area_lo``/``area_hi`` override the sampled normalized box AREA range
+    (requires ``aspect_std > 0``'s area-parameterized sampler, or activate
+    it with aspect_std=1e-6). A small-object-heavy split uses e.g.
+    area_lo=0.0005&area_hi=0.0035: at 512px that is ~11–30 px boxes, under
+    COCO's small-area stratum (32^2 original px), so APsmall/ARsmall stop
+    being NaN-by-construction.
+
+    ``class_aspect > 0`` gives each CLASS a characteristic elongation: class
+    c's log-aspect is centered on mu_c, evenly spread over
+    [-class_aspect, +class_aspect] across classes (c=0 thinnest/tallest,
+    c=C-1 widest), with per-instance noise aspect_std around it. Object
+    shape then carries class information — the regime engineered to FAVOR
+    shape-similarity matching (C13), the adversarial counterpart of the
+    symmetric-blob benchmark where it measured negative.
     """
 
     def __init__(self, size: int = 300, num_images: int = 64,
                  max_objects: int = 4, num_classes: int = 4, seed: int = 0,
-                 aspect_std: float = 0.0, color_jitter: float = 0.0):
+                 aspect_std: float = 0.0, color_jitter: float = 0.0,
+                 area_lo: float = 0.0, area_hi: float = 0.0,
+                 class_aspect: float = 0.0):
         self.size = size
         self.num_images = num_images
         self.max_objects = max_objects
@@ -61,17 +81,28 @@ class SyntheticDetection:
         self.seed = seed
         self.aspect_std = aspect_std
         self.color_jitter = color_jitter
+        self.area_lo = area_lo
+        self.area_hi = area_hi
+        self.class_aspect = class_aspect
 
     def __len__(self) -> int:
         return self.num_images
 
-    def _sample_wh(self, rng) -> Tuple[float, float]:
-        if self.aspect_std <= 0:
+    def _sample_wh(self, rng, cls: int = 0) -> Tuple[float, float]:
+        if (self.aspect_std <= 0 and self.class_aspect <= 0
+                and self.area_hi <= 0):
             return rng.uniform(0.15, 0.5), rng.uniform(0.15, 0.5)
         # fixed-ish area, extreme aspect: keep every box >= ~4 px at
         # size>=128 so a matched anchor is geometrically possible
-        area = rng.uniform(0.01, 0.06)
-        log_ar = float(np.clip(rng.normal(0.0, self.aspect_std), -2.2, 2.2))
+        lo_a = self.area_lo if self.area_lo > 0 else 0.01
+        hi_a = self.area_hi if self.area_hi > 0 else 0.06
+        area = rng.uniform(lo_a, hi_a)
+        mu = 0.0
+        if self.class_aspect > 0:
+            # class c center spread evenly over [-class_aspect, class_aspect]
+            frac = (cls + 0.5) / self.num_classes
+            mu = (2.0 * frac - 1.0) * self.class_aspect
+        log_ar = float(np.clip(mu + rng.normal(0.0, self.aspect_std), -2.2, 2.2))
         w = float(np.sqrt(area * np.exp(log_ar)))
         h = float(np.sqrt(area / np.exp(log_ar)))
         lo = 4.0 / self.size
@@ -84,10 +115,18 @@ class SyntheticDetection:
         n = int(rng.integers(1, self.max_objects + 1))
         boxes, labels = [], []
         for _ in range(n):
-            w, h = self._sample_wh(rng)
+            # class_aspect needs the class BEFORE the shape; every other mode
+            # keeps the original draw order so existing splits (and the
+            # oracle tests pinned to them) stay bit-identical.
+            if self.class_aspect > 0:
+                cls = int(rng.integers(0, self.num_classes))
+                w, h = self._sample_wh(rng, cls)
+            else:
+                w, h = self._sample_wh(rng)
             x0 = rng.uniform(0, 1 - w)
             y0 = rng.uniform(0, 1 - h)
-            cls = int(rng.integers(0, self.num_classes))
+            if self.class_aspect <= 0:
+                cls = int(rng.integers(0, self.num_classes))
             px = [int(x0 * s), int(y0 * s), int((x0 + w) * s), int((y0 + h) * s)]
             color = _class_color(cls)
             if self.color_jitter > 0:

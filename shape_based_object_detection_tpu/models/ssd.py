@@ -69,11 +69,16 @@ class SSD(nn.Module):
     def _forward(self, x, dtype):
         cfg = self.cfg
 
+        # ModelConfig.remat: segment-wise rematerialization (trunk stages via
+        # VGG16Trunk.remat, extras as one checkpointed segment) — the SSD
+        # family's counterpart of models/resnet.py per-block nn.remat, so the
+        # train.py/train_cli model-remat promotion is honored here too.
         conv4_3, conv7 = VGG16Trunk(width_mult=cfg.width_mult, dtype=dtype,
-                                    name="vgg")(x)
+                                    remat=cfg.remat, name="vgg")(x)
         conv4_3 = L2Norm(name="l2norm")(conv4_3)
-        extras = SSDExtras(image_size=cfg.image_size, width_mult=cfg.width_mult,
-                           dtype=dtype, name="extras")(conv7)
+        extras_cls = nn.remat(SSDExtras) if cfg.remat else SSDExtras
+        extras = extras_cls(image_size=cfg.image_size, width_mult=cfg.width_mult,
+                            dtype=dtype, name="extras")(conv7)
         feats = [conv4_3, conv7] + extras
 
         from shape_based_object_detection_tpu.ops.anchors import num_anchors_per_cell

@@ -179,6 +179,48 @@ def test_train_step_with_segmented_remat(tiny_setup):
                                rtol=1e-4)
 
 
+def test_ssd_segmented_remat_parity():
+    """SSD-family ModelConfig.remat (vgg.py per-stage nn.remat segments +
+    checkpointed extras — the round-4 advisor gap: the train_cli remat
+    promotion used to silently no-op for SSD): identical param tree to the
+    plain model, identical forward, and a train step from the same init
+    matches the no-remat loss/grads."""
+    model_cfg = config_lib.tiny_test_model("ssd")
+    cfg = config_lib.ExperimentConfig(
+        model=model_cfg,
+        data=dataclasses.replace(
+            config_lib.DataConfig(batch_size=2, max_boxes=4),
+            photometric=False, expand=False, random_crop=False, hflip=False,
+        ),
+        train=dataclasses.replace(
+            config_lib.TrainConfig(), base_lr=0.01, warmup_steps=5,
+            weight_decay=0.0, total_steps=1000, lr_decay_steps=(500,),
+        ),
+        match=config_lib.MatchConfig(pos_threshold=0.4, neg_threshold=0.4),
+        loss=config_lib.LossConfig(kind="multibox"),
+    )
+    module, variables, anchors = build_model(model_cfg)
+    remat_cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(model_cfg, remat=True),
+        train=dataclasses.replace(cfg.train, remat=True),
+    )
+    remat_module, remat_vars, _ = build_model(remat_cfg.model)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(remat_vars))
+    batch = _fake_batch(cfg)
+    step_fn = train_lib.make_train_step(module, anchors, cfg, augment=False)
+    remat_step = train_lib.make_train_step(remat_module, anchors, remat_cfg,
+                                           augment=False)
+    s1 = train_lib.create_train_state(module, variables, cfg)
+    s2 = train_lib.create_train_state(remat_module, variables, remat_cfg)
+    _, m1 = step_fn(s1, batch)
+    _, m2 = remat_step(s2, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)
+
+
 def test_momentum_dtype_bfloat16(tiny_setup):
     """TrainConfig.momentum_dtype="bfloat16" (the optimizer-HBM lever,
     tools/profile_backward.py): the SGD trace is stored bf16, params stay

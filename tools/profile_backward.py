@@ -111,6 +111,11 @@ def main(argv=None):
     else:
         model_cfg = dataclasses.replace(
             config_lib.get_config(args.model).model, dtype="bfloat16")
+    if args.remat:
+        # Mirror train_cli/bench_train: --remat measures the shipped
+        # segment-wise ModelConfig.remat path, not the legacy whole-forward
+        # jax.checkpoint (which barely lowers peak memory).
+        model_cfg = dataclasses.replace(model_cfg, remat=True)
     train_cfg = config_lib.get_config("config3_ssd512_voc_train").train
     train_cfg = dataclasses.replace(
         train_cfg,
