@@ -63,6 +63,52 @@ def test_synthetic_aspect_std():
     assert (ars > 3).any() and (ars < 1 / 3).any()
 
 
+def test_synthetic_small_object_split():
+    """area_lo/area_hi confine sampled boxes to the requested area band —
+    the small-object-heavy benchmark variant (COCO small stratum is
+    area < 32^2 original px, i.e. < 1024/size^2 normalized at eval's
+    area_scale=size)."""
+    ds = SyntheticDetection(size=512, num_images=32, seed=5, aspect_std=0.3,
+                            area_lo=0.0005, area_hi=0.0035)
+    areas = []
+    for i in range(32):
+        _, boxes, _ = ds[i]
+        w = boxes[:, 2] - boxes[:, 0]
+        h = boxes[:, 3] - boxes[:, 1]
+        assert (w > 0).all() and (h > 0).all()
+        areas.extend((w * h * 512 * 512).tolist())
+    areas = np.asarray(areas)
+    # every box under the COCO small-area threshold (tiny slack for the
+    # >=4px minimum-side clamp)
+    assert np.median(areas) < 1024
+    assert (areas < 1500).all()
+
+
+def test_synthetic_class_aspect():
+    """class_aspect>0 correlates elongation with class id (the benchmark
+    engineered to FAVOR shape-similarity matching): per-class mean
+    log-aspect must increase monotonically from class 1 to class C, and the
+    knob must leave default splits bit-identical."""
+    base = SyntheticDetection(size=128, num_images=6, seed=4)
+    same = SyntheticDetection(size=128, num_images=6, seed=4,
+                              class_aspect=0.0)
+    for i in range(4):
+        np.testing.assert_array_equal(base[i][0], same[i][0])
+        np.testing.assert_array_equal(base[i][1], same[i][1])
+
+    ds = SyntheticDetection(size=256, num_images=96, seed=4, aspect_std=0.15,
+                            class_aspect=1.2, num_classes=4)
+    by_class = {c: [] for c in range(1, 5)}
+    for i in range(96):
+        _, boxes, labels = ds[i]
+        for b, l in zip(boxes, labels):
+            ar = (b[2] - b[0]) / (b[3] - b[1])
+            by_class[int(l)].append(np.log(ar))
+    means = [np.mean(by_class[c]) for c in range(1, 5)]
+    assert all(m2 > m1 for m1, m2 in zip(means, means[1:])), means
+    assert means[0] < -0.4 and means[-1] > 0.4
+
+
 def test_loader_batches():
     ds = SyntheticDetection(size=32, num_images=10)
     loader = Loader(ds, batch_size=4, max_boxes=6)

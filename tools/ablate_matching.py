@@ -95,11 +95,12 @@ def run_arm(args, shape_weight: float, seed: int = 7) -> dict:
     train_ds = SyntheticDetection(
         size=size, num_images=args.train_images,
         max_objects=args.max_objects, num_classes=cfg.model.num_classes,
-        seed=1, aspect_std=args.aspect_std)
+        seed=1, aspect_std=args.aspect_std, class_aspect=args.class_aspect)
     val_ds = SyntheticDetection(
         size=size, num_images=args.val_images,
         max_objects=args.max_objects, num_classes=cfg.model.num_classes,
-        seed=2, aspect_std=args.aspect_std)  # disjoint generator stream
+        seed=2, aspect_std=args.aspect_std,
+        class_aspect=args.class_aspect)  # disjoint generator stream
 
     # identical init across arms AT EACH SEED: the seed drives model init,
     # augmentation rng and data order together, so the two arms of one seed
@@ -124,7 +125,8 @@ def run_arm(args, shape_weight: float, seed: int = 7) -> dict:
 
         tag = (f"{size}_{args.train_images}x{args.val_images}"
                f"_a{args.aspect_std:g}_g{args.max_objects}"
-               f"_c{cfg.model.num_classes}")
+               f"_c{cfg.model.num_classes}"
+               + (f"_ca{args.class_aspect:g}" if args.class_aspect else ""))
         train_dir = build_cache(
             train_ds, os.path.join(args.cache_dir, f"train_{tag}"),
             cfg.data.max_boxes, workers=1)
@@ -180,6 +182,7 @@ def run_arm(args, shape_weight: float, seed: int = 7) -> dict:
     return {
         "shape_weight": shape_weight,
         "seed": seed,
+        "class_aspect": args.class_aspect,
         "mAP": _f(m["mAP"]), "AP50": _f(m["AP50"]), "AP75": _f(m["AP75"]),
         "APsmall": _f(m["APsmall"]), "APmedium": _f(m["APmedium"]),
         "APlarge": _f(m["APlarge"]),
@@ -202,6 +205,11 @@ def main(argv=None):
     p.add_argument("--shape-weight", type=float, default=0.3,
                    help="shape_weight of the shape-aware arm (config #3 value)")
     p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--class-aspect", type=float, default=0.0,
+                   help="per-CLASS characteristic log-aspect spread "
+                        "(synthetic.py class_aspect): the benchmark variant "
+                        "engineered to FAVOR shape priors — object shape "
+                        "carries class identity")
     p.add_argument("--aspect-std", type=float, default=1.2,
                    help="log-aspect stddev of the synthetic objects "
                         "(1.2 => ~22%% of boxes beyond 4.5:1)")
@@ -241,6 +249,8 @@ def main(argv=None):
             for line in f:
                 if line.strip():
                     r = json.loads(line)
+                    if r.get("class_aspect", 0.0) != args.class_aspect:
+                        continue  # arm from a different benchmark variant
                     done[(r["seed"], r["shape_weight"])] = r
         if done:
             print(f"resuming: {len(done)} arm(s) loaded from "
