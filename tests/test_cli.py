@@ -364,6 +364,28 @@ def test_calibrate_tool_then_static_eval(tmp_path, capsys):
     assert "mAP" in metrics
 
 
+def test_calibrate_tool_with_remat_config(tmp_path, capsys):
+    """Calibrating a config that trains with model.remat=true must not leak
+    tracers: nn.remat's lifted trace swallows the recording interceptor's
+    amaxes (UnexpectedTracerError — hit by the R101 capstone's resolved
+    config). The tool drops remat for its inference-only build; the param
+    tree (and so the scales) are identical either way."""
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "tools"))
+    try:
+        import calibrate_scales
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "scales_remat.json")
+    calibrate_scales.main(["--config", "tiny_retinanet", "--batches", "1",
+                           "--set", "model.remat=true", "--out", out])
+    capsys.readouterr()
+    assert json.load(open(out))  # non-empty {path: amax}
+
+
 def test_train_cli_stale_checkpoint_clear_error(tmp_path, capsys):
     """A checkpoint dir written by a different config fails with a clear
     SystemExit, not an orbax structure dump."""

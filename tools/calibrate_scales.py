@@ -52,12 +52,21 @@ def main(argv=None):
                    metavar="SECTION.KEY=VALUE")
     args = p.parse_args(argv)
 
+    import dataclasses
+
     cfg = config_lib.resolve_config(args.config, args.overrides)
     if args.dataset:
-        import dataclasses
-
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, dataset=args.dataset))
+    if cfg.model.remat:
+        # Calibration is pure inference: model.remat (a training-memory
+        # lever) wraps blocks in nn.remat's lifted trace, and the recording
+        # interceptor's captured amaxes would leak tracers out of that
+        # scope (UnexpectedTracerError — hit by the R101 capstone's
+        # resolved config, which trains with remat=true). Param tree is
+        # identical either way, so dropping the flag is numerics-neutral.
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat=False))
     module, variables, anchors = build_model(cfg.model)
     if args.checkpoint_dir:
         from shape_based_object_detection_tpu.cli.common import (
